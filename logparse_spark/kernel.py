@@ -1,0 +1,177 @@
+"""Vectorized parse+match kernel (pure pandas/numpy, no Spark).
+
+This is the single Python hot path of the engine (BASELINE.json:6: the
+rule DSL "is compiled into vectorized pandas/Arrow UDFs ... with no
+per-row Python"). It implements LogParse's ordered first-match rule
+dispatch (SURVEY.md §3.1 step 3) as a loop over *rules* (a handful)
+with a shrinking "unclaimed" row mask — never a loop over rows.
+
+Per Arrow batch:
+  for each rule in order:
+      candidates = unclaimed rows (optionally pre-shrunk by a cheap
+                   literal-substring mask derived from the pattern)
+      matched    = vectorized regex search on candidates
+      extract capture groups + render templates on matched rows only
+
+Output columns (the UDF struct):
+  rule_id   Int32 (null = unmatched)
+  rule_name string (null = unmatched)
+  action    string ("ignore"|"count"|"report"|"unmatched")
+  sink_id   string ("ignored"|<rule name>|"unmatched")
+  count_key string (count rules only)
+  rendered  string (report: rendered template; count: key; unmatched:
+            original text; ignore: null — the row is dropped downstream)
+  captures  list<string> (regex capture groups, null-padded)
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from .rules import CompiledRule, CompiledRules, SINK_UNMATCHED
+
+OUTPUT_COLUMNS = [
+    "rule_id", "rule_name", "action", "sink_id", "count_key", "rendered", "captures",
+]
+
+_CHAR_CLASS_RE = re.compile(r"\[(?:[^\]\\]|\\.)*\]")
+_META_SPLIT_RE = re.compile(r"(?:\\.|[.^$*+?()\[\]{}|\\])+")
+
+
+def required_literal(pattern: str, min_len: int = 4) -> str | None:
+    """Derive a literal substring every match must contain, or None.
+
+    Conservative: returns None when alternation or optional groups make
+    any literal non-mandatory. Used as a cheap vectorized pre-filter
+    (plain substring scan) before the regex engine runs (SURVEY.md §4
+    "rule-dispatch strategy").
+    """
+    if "|" in pattern.replace("\\|", ""):
+        return None
+    if ")?" in pattern or ")*" in pattern or "){" in pattern:
+        return None
+    # char classes are not literals; replace with "()" so they split runs
+    stripped = _CHAR_CLASS_RE.sub("()", pattern)
+    best = ""
+    pos = 0
+    pieces: list[tuple[str, str]] = []
+    for m in _META_SPLIT_RE.finditer(stripped):
+        pieces.append((stripped[pos : m.start()], stripped[m.start()]))
+        pos = m.end()
+    pieces.append((stripped[pos:], ""))
+    for lit, nextch in pieces:
+        if nextch and nextch in "?*{":  # trailing char made optional by quantifier
+            lit = lit[:-1]
+        if len(lit) > len(best):
+            best = lit
+    return best if len(best) >= min_len else None
+
+
+def _extract_with_whole(target: pd.Series, rule: CompiledRule) -> pd.DataFrame:
+    """Extract (whole_match, g1..gn) for rows of ``target``.
+
+    Wraps the pattern in an outer group so ``{0}`` (whole match) renders
+    without a second regex pass. Limitation: numbered backreferences
+    inside the pattern would shift — the DSL doesn't support them.
+    """
+    whole_rx = re.compile("(" + rule.spec.pattern + ")")
+    return target.str.extract(whole_rx)
+
+
+def _render(template, groups: pd.DataFrame) -> pd.Series:
+    """Vectorized template render: groups col 0 = whole match, i = group i."""
+    out: pd.Series | None = None
+    for kind, val in template.parts:
+        if kind == "lit":
+            piece = pd.Series(val, index=groups.index, dtype=object)
+        else:
+            piece = groups.iloc[:, int(val)].fillna("").astype(object)
+        out = piece if out is None else out + piece
+    assert out is not None
+    return out
+
+
+def parse_and_match_pandas(
+    text: pd.Series, tool: pd.Series, compiled: CompiledRules,
+    prefilter: bool = True,
+) -> pd.DataFrame:
+    """The kernel: one Arrow batch in, OUTPUT_COLUMNS frame out."""
+    n = len(text)
+    text = text.reset_index(drop=True).astype(object)
+    tool = tool.reset_index(drop=True).astype(object)
+
+    rule_id = np.full(n, -1, dtype=np.int64)
+    count_key = np.full(n, None, dtype=object)
+    rendered = np.full(n, None, dtype=object)
+    captures = np.full(n, None, dtype=object)
+    unclaimed = np.ones(n, dtype=bool)
+
+    for rule in compiled.rules:
+        if not unclaimed.any():
+            break
+        target_all = text if rule.spec.field == "text" else tool
+        idx = np.flatnonzero(unclaimed)
+        sub = target_all.iloc[idx]
+
+        if prefilter:
+            lit = required_literal(rule.spec.pattern)
+            if lit is not None:
+                coarse = sub.str.contains(lit, regex=False, na=False).to_numpy()
+                idx = idx[coarse]
+                if idx.size == 0:
+                    continue
+                sub = target_all.iloc[idx]
+
+        hit_mask = sub.str.contains(rule.regex_search, na=False).to_numpy()
+        hit = idx[hit_mask]
+        if hit.size == 0:
+            continue
+        rule_id[hit] = rule.rule_id
+        unclaimed[hit] = False
+
+        needs_groups = rule.n_groups > 0 or rule.template is not None
+        if not needs_groups:
+            continue
+        matched = target_all.iloc[hit]
+        groups = _extract_with_whole(matched, rule)
+        if rule.n_groups > 0:
+            caps = groups.iloc[:, 1:].to_numpy(dtype=object)
+            caps = [
+                [None if (g is None or g != g) else str(g) for g in row]
+                for row in caps
+            ]
+            captures[hit] = pd.Series(caps, index=range(len(caps)), dtype=object).to_numpy()
+        if rule.template is not None:
+            vals = _render(rule.template, groups).to_numpy(dtype=object)
+            if rule.spec.action == "count":
+                count_key[hit] = vals
+                rendered[hit] = vals
+            else:  # report
+                rendered[hit] = vals
+
+    # unmatched rows carry the original text as their routed payload
+    un = np.flatnonzero(unclaimed)
+    if un.size:
+        rendered[un] = text.iloc[un].to_numpy(dtype=object)
+
+    id2name = {r.rule_id: r.spec.name for r in compiled.rules}
+    id2action = {r.rule_id: r.spec.action for r in compiled.rules}
+    id2sink = {r.rule_id: r.sink_id for r in compiled.rules}
+
+    rid = pd.Series(rule_id).astype("Int32")
+    rid[rule_id < 0] = pd.NA
+    out = pd.DataFrame(
+        {
+            "rule_id": rid,
+            "rule_name": pd.Series(rule_id).map(id2name),
+            "action": pd.Series(rule_id).map(id2action).fillna(SINK_UNMATCHED),
+            "sink_id": pd.Series(rule_id).map(id2sink).fillna(SINK_UNMATCHED),
+            "count_key": pd.Series(count_key, dtype=object),
+            "rendered": pd.Series(rendered, dtype=object),
+            "captures": pd.Series(captures, dtype=object),
+        }
+    )
+    return out

@@ -1,0 +1,313 @@
+"""Rule DSL: parse + compile (driver-side, no Spark dependency).
+
+The DSL re-expresses LogParse's config semantics (SURVEY.md §2.1 C1,
+BASELINE.json:6 "rule DSL (regex patterns with IGNORE/COUNT/report
+actions and field substitutions)"):
+
+    rule NAME [on text|on tool] match /REGEX/ ignore
+    rule NAME [on text|on tool] match /REGEX/ count {n}
+    rule NAME [on text|on tool] match /REGEX/ report "TEMPLATE with {n}"
+
+- Rules are ORDERED; dispatch is first-match-wins across the whole list
+  (text-rules and tool-rules interleaved in file order), matching the
+  reference's per-line ordered rule scan.
+- ``match /REGEX/`` uses *search* (unanchored) semantics, like Perl's
+  ``=~ /pat/``; anchor explicitly with ``^``/``$``.
+- ``{n}`` in a count key or report template substitutes regex capture
+  group *n* (1-based). ``{0}`` substitutes the whole match.
+
+Everything here is plain Python so it unit-tests without a JVM.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+VALID_FIELDS = ("text", "tool")
+VALID_ACTIONS = ("ignore", "count", "report")
+
+# Reserved sink ids that no rule may claim.
+SINK_IGNORED = "ignored"
+SINK_UNMATCHED = "unmatched"
+
+_RULE_RE = re.compile(
+    r"""^rule\s+(?P<name>\w+)
+        (?:\s+on\s+(?P<field>text|tool))?
+        \s+match\s+/(?P<pattern>(?:[^/\\]|\\.)*)/
+        \s+(?P<action>ignore|count|report)
+        (?:\s+(?P<rest>.*))?$""",
+    re.VERBOSE,
+)
+
+_TEMPLATE_TOKEN_RE = re.compile(r"\{(\d+)\}")
+
+
+class RuleSyntaxError(ValueError):
+    """Raised for malformed rule DSL input (with line number context)."""
+
+
+@dataclass(frozen=True)
+class RuleSpec:
+    """One parsed rule stanza, in file order."""
+
+    rule_id: int
+    name: str
+    field: str          # "text" | "tool"
+    pattern: str        # raw regex source
+    action: str         # "ignore" | "count" | "report"
+    template: str | None  # count key template or report template
+
+
+@dataclass(frozen=True)
+class CompiledTemplate:
+    """A ``{n}``-substitution template split into literal/group parts.
+
+    ``parts`` is a tuple of ``("lit", s)`` and ``("grp", n)`` items;
+    rendering is a vectorized string concat over capture columns.
+    """
+
+    source: str
+    parts: tuple[tuple[str, object], ...]
+    max_group: int
+
+    def render_row(self, whole: str, groups: list[str | None]) -> str:
+        """Scalar render (used by tests and the pandas oracle)."""
+        out: list[str] = []
+        for kind, val in self.parts:
+            if kind == "lit":
+                out.append(val)  # type: ignore[arg-type]
+            elif val == 0:
+                out.append(whole or "")
+            else:
+                g = groups[val - 1] if val - 1 < len(groups) else None  # type: ignore[operator]
+                out.append("" if g is None else str(g))
+        return "".join(out)
+
+
+_OPEN_GROUP_RE = re.compile(r"(?<!\\)\((?!\?)")
+
+
+def nogroup_pattern(pattern: str) -> str:
+    """Rewrite capture groups to non-capturing (for match-only passes)."""
+    return _OPEN_GROUP_RE.sub("(?:", pattern)
+
+
+@dataclass(frozen=True)
+class CompiledRule:
+    spec: RuleSpec
+    regex: re.Pattern
+    regex_search: re.Pattern  # non-capturing variant, match-only pass
+    template: CompiledTemplate | None
+    n_groups: int
+
+    @property
+    def rule_id(self) -> int:
+        return self.spec.rule_id
+
+    @property
+    def sink_id(self) -> str:
+        """Ignored rows share one sink; count/report rules own one each."""
+        return SINK_IGNORED if self.spec.action == "ignore" else self.spec.name
+
+
+@dataclass(frozen=True)
+class CompiledRules:
+    """The full compiled plan: ordered rules + derived metadata."""
+
+    rules: tuple[CompiledRule, ...]
+    source_text: str = field(default="", compare=False)
+
+    @property
+    def sink_ids(self) -> list[str]:
+        """All sink ids in deterministic (rule, then catch-all) order."""
+        out: list[str] = []
+        for r in self.rules:
+            if r.sink_id not in out:
+                out.append(r.sink_id)
+        if SINK_IGNORED not in out:
+            out.append(SINK_IGNORED)
+        out.append(SINK_UNMATCHED)
+        return out
+
+    @property
+    def max_groups(self) -> int:
+        return max((r.n_groups for r in self.rules), default=0)
+
+    def by_name(self, name: str) -> CompiledRule:
+        for r in self.rules:
+            if r.spec.name == name:
+                return r
+        raise KeyError(name)
+
+
+def compile_template(source: str) -> CompiledTemplate:
+    parts: list[tuple[str, object]] = []
+    max_group = 0
+    pos = 0
+    for m in _TEMPLATE_TOKEN_RE.finditer(source):
+        if m.start() > pos:
+            parts.append(("lit", source[pos : m.start()]))
+        n = int(m.group(1))
+        max_group = max(max_group, n)
+        parts.append(("grp", n))
+        pos = m.end()
+    if pos < len(source):
+        parts.append(("lit", source[pos:]))
+    if not parts:
+        parts.append(("lit", ""))
+    return CompiledTemplate(source=source, parts=tuple(parts), max_group=max_group)
+
+
+def parse_rules(text: str) -> list[RuleSpec]:
+    """Parse DSL text into an ordered list of RuleSpec (C1)."""
+    specs: list[RuleSpec] = []
+    names: set[str] = set()
+    for lineno, raw in enumerate(text.splitlines(), start=1):
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        m = _RULE_RE.match(line)
+        if not m:
+            raise RuleSyntaxError(f"line {lineno}: cannot parse rule: {line!r}")
+        name = m.group("name")
+        if name in names:
+            raise RuleSyntaxError(f"line {lineno}: duplicate rule name {name!r}")
+        if name in (SINK_IGNORED, SINK_UNMATCHED):
+            raise RuleSyntaxError(f"line {lineno}: rule name {name!r} is reserved")
+        names.add(name)
+        fieldname = m.group("field") or "text"
+        action = m.group("action")
+        rest = (m.group("rest") or "").strip()
+        template: str | None = None
+        if action == "ignore":
+            if rest:
+                raise RuleSyntaxError(f"line {lineno}: ignore takes no template")
+        elif action == "count":
+            # key template; bare "{1}" or quoted "...{1}..."
+            if not rest:
+                raise RuleSyntaxError(f"line {lineno}: count needs a key template")
+            template = _unquote(rest)
+        elif action == "report":
+            if not (rest.startswith('"') and rest.endswith('"') and len(rest) >= 2):
+                raise RuleSyntaxError(f"line {lineno}: report needs a quoted template")
+            template = _unquote(rest)
+        specs.append(
+            RuleSpec(
+                rule_id=len(specs),
+                name=name,
+                field=fieldname,
+                pattern=m.group("pattern"),
+                action=action,
+                template=template,
+            )
+        )
+    return specs
+
+
+def _unquote(s: str) -> str:
+    if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
+        s = s[1:-1]
+    return s.replace('\\"', '"')
+
+
+def compile_rules(text: str) -> CompiledRules:
+    """Parse + compile DSL text into the immutable broadcastable plan."""
+    compiled: list[CompiledRule] = []
+    for spec in parse_rules(text):
+        try:
+            rx = re.compile(spec.pattern)
+        except re.error as e:  # pragma: no cover - exercised in tests
+            raise RuleSyntaxError(f"rule {spec.name!r}: bad regex: {e}") from e
+        tmpl = compile_template(spec.template) if spec.template is not None else None
+        if tmpl is not None and tmpl.max_group > rx.groups:
+            raise RuleSyntaxError(
+                f"rule {spec.name!r}: template references group "
+                f"{tmpl.max_group} but pattern has {rx.groups}"
+            )
+        compiled.append(
+            CompiledRule(
+                spec=spec,
+                regex=rx,
+                regex_search=re.compile(nogroup_pattern(spec.pattern)),
+                template=tmpl,
+                n_groups=rx.groups,
+            )
+        )
+    return CompiledRules(rules=tuple(compiled), source_text=text)
+
+
+def load_rules(path: str) -> CompiledRules:
+    with open(path, encoding="utf-8") as f:
+        return compile_rules(f.read())
+
+
+# ---------------------------------------------------------------------------
+# SQL generation: the same ordered first-match dispatch as an ANSI CASE chain.
+# Used both for the pure-SQL Spark alternative (SURVEY §2.1 P2) and the
+# DuckDB oracle (driver correctness gate).
+# ---------------------------------------------------------------------------
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def dispatch_case_sql(rules: CompiledRules, dialect: str = "duckdb",
+                      text_col: str = "text", tool_col: str = "tool",
+                      output: str = "sink_id") -> str:
+    """Emit the ordered first-match dispatch as a CASE expression.
+
+    ``output``: "sink_id" | "rule_name" | "action" | "rule_id".
+    Dialects: "duckdb" (regexp_matches = search) and "spark"
+    (``rlike`` = search). Patterns in the fixture DSL are RE2/Java/PCRE
+    compatible (\\d \\w [..] anchors only).
+    """
+    matcher = "regexp_matches" if dialect == "duckdb" else "rlike_unused"
+    branches: list[str] = []
+    for r in rules.rules:
+        col = text_col if r.spec.field == "text" else tool_col
+        pat = _sql_quote(r.spec.pattern)
+        if dialect == "duckdb":
+            cond = f"{col} IS NOT NULL AND {matcher}({col}, {pat})"
+        else:
+            cond = f"{col} IS NOT NULL AND {col} RLIKE {pat}"
+        if output == "sink_id":
+            val = _sql_quote(r.sink_id)
+        elif output == "rule_name":
+            val = _sql_quote(r.spec.name)
+        elif output == "action":
+            val = _sql_quote(r.spec.action)
+        else:
+            val = str(r.rule_id)
+        branches.append(f"WHEN {cond} THEN {val}")
+    if output == "sink_id":
+        default = _sql_quote(SINK_UNMATCHED)
+    elif output == "rule_name":
+        default = "NULL"
+    elif output == "action":
+        default = _sql_quote(SINK_UNMATCHED)
+    else:
+        default = "NULL"
+    body = " ".join(branches)
+    return f"CASE {body} ELSE {default} END"
+
+
+def template_sql(rule: CompiledRule, dialect: str = "duckdb",
+                 text_col: str = "text", tool_col: str = "tool") -> str:
+    """Emit a rule's template render as a SQL concat of regexp_extract calls.
+
+    Only valid on rows already known to match the rule's pattern.
+    """
+    col = text_col if rule.spec.field == "text" else tool_col
+    pat = _sql_quote(rule.spec.pattern)
+    if rule.template is None:
+        return "''"
+    pieces: list[str] = []
+    for kind, val in rule.template.parts:
+        if kind == "lit":
+            pieces.append(_sql_quote(val))  # type: ignore[arg-type]
+        else:
+            pieces.append(f"regexp_extract({col}, {pat}, {val})")
+    if len(pieces) == 1:
+        return pieces[0]
+    return "(" + " || ".join(pieces) + ")" if dialect == "duckdb" else "concat(" + ", ".join(pieces) + ")"

@@ -1,0 +1,116 @@
+"""Unit tests: vectorized kernel vs the scalar oracle (layer 2). No Spark."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from logparse_spark.fixtures import gen_transcripts
+from logparse_spark.kernel import parse_and_match_pandas, required_literal
+from logparse_spark.rules import load_rules
+from tests.oracle_ref import classify_row
+
+COMPILED = load_rules("/root/repo/rules/default.rules")
+
+
+def _kernel_vs_oracle(text, tool, prefilter=True):
+    got = parse_and_match_pandas(
+        pd.Series(text, dtype=object), pd.Series(tool, dtype=object),
+        COMPILED, prefilter=prefilter,
+    )
+    if not text:
+        assert len(got) == 0
+        return
+    want = pd.DataFrame([classify_row(t, tl, COMPILED) for t, tl in zip(text, tool)])
+    for col in ["rule_name", "action", "sink_id", "count_key", "rendered"]:
+        assert got[col].where(got[col].notna(), None).tolist() == \
+            want[col].where(want[col].notna(), None).tolist(), col
+    want_ids = [None if r is None or r != r else int(r) for r in want["rule_id"].tolist()]
+    assert [None if r is pd.NA else int(r) for r in got["rule_id"].tolist()] == want_ids
+    got_caps = [c if isinstance(c, list) else None for c in got["captures"].tolist()]
+    assert got_caps == want["captures"].tolist()
+
+
+GOLDEN_TEXT = [
+    "heartbeat ping seq=42",
+    "heartbeat ping seq=42 trailing",          # anchor near-miss
+    "login failed for user alice from 10.0.0.1",
+    "prefix login failed for user bob from 1.2.3.4 suffix",  # search semantics
+    "ERROR 503: upstream returned 503 in step 12",
+    "error 503: lowercase in step 12",         # case-sensitive near-miss
+    "nothing to see here",
+    None,
+]
+GOLDEN_TOOL = [None, None, None, None, None, "exec(arg=x)", "exec(arg=x)", "calc(arg=v2)"]
+
+
+def test_kernel_golden():
+    _kernel_vs_oracle(GOLDEN_TEXT, GOLDEN_TOOL)
+
+
+def test_kernel_golden_no_prefilter():
+    _kernel_vs_oracle(GOLDEN_TEXT, GOLDEN_TOOL, prefilter=False)
+
+
+def test_first_match_wins_text_over_tool():
+    # row matches both the 'authfail' text rule and the 'toolcall' tool rule:
+    # file order says authfail (rule 1) beats toolcall (rule 3)
+    got = parse_and_match_pandas(
+        pd.Series(["login failed for user x from 1.1.1.1"]),
+        pd.Series(["shell(arg=full)"]),
+        COMPILED,
+    )
+    assert got["rule_name"].tolist() == ["authfail"]
+
+
+def test_kernel_on_fixture_sample():
+    t = gen_transcripts(2_000, 100).to_pandas()
+    _kernel_vs_oracle(t["text"].tolist(), t["tool"].tolist())
+    # every fixture category appears
+    got = parse_and_match_pandas(t["text"], t["tool"], COMPILED)
+    assert set(got["sink_id"].unique()) == {
+        "ignored", "authfail", "error", "toolcall", "unmatched",
+    }
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
+                                       whitelist_characters=".:=()"),
+                max_size=60,
+            ),
+            st.sampled_from(GOLDEN_TEXT[:-1]),
+        ),
+        max_size=40,
+    )
+)
+def test_kernel_property_random_text(texts):
+    tools = [None] * len(texts)
+    _kernel_vs_oracle(texts, tools)
+
+
+def test_required_literal():
+    assert required_literal(r"^heartbeat ping seq=\d+$") == "heartbeat ping seq="
+    assert required_literal(r"login failed for user (\w+) from ([\d.]+)") == \
+        "login failed for user "
+    assert required_literal(r"ERROR (\d+): (.+) in step (\d+)") == " in step "
+    assert required_literal(r"^(\w+)\(arg=(\w+)\)$") == "arg="
+    assert required_literal(r"cat|dog") is None               # alternation
+    assert required_literal(r"(abcdef)?xy") is None           # optional group
+    assert required_literal(r"colou?r stuff") == "r stuff"    # optional char trimmed
+    assert required_literal(r"[abcdefgh]+") is None           # class is not literal
+
+
+def test_partition_invariant():
+    # every row lands in exactly one bucket (SURVEY §5.2 property a)
+    t = gen_transcripts(3_000, 150).to_pandas()
+    got = parse_and_match_pandas(t["text"], t["tool"], COMPILED)
+    assert len(got) == len(t)
+    assert got["sink_id"].notna().all()
+    by_sink = got.groupby("sink_id").size()
+    assert by_sink.sum() == len(t)

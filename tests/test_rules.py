@@ -1,0 +1,90 @@
+"""Unit tests: rule DSL parse/compile (SURVEY.md §5.2 layer 1). No Spark."""
+
+import pytest
+
+from logparse_spark.rules import (
+    RuleSyntaxError,
+    compile_rules,
+    compile_template,
+    dispatch_case_sql,
+    load_rules,
+    parse_rules,
+)
+
+DSL = """
+# comment
+rule heartbeat  match /^heartbeat ping seq=\\d+$/ ignore
+rule authfail   match /login failed for user (\\w+) from ([\\d.]+)/ count {1}
+rule error      match /ERROR (\\d+): (.+) in step (\\d+)/ report "err {1} step {3}: {2}"
+rule toolcall   on tool match /^(\\w+)\\(arg=(\\w+)\\)$/ count {1}
+"""
+
+
+def test_parse_order_and_fields():
+    specs = parse_rules(DSL)
+    assert [s.name for s in specs] == ["heartbeat", "authfail", "error", "toolcall"]
+    assert [s.rule_id for s in specs] == [0, 1, 2, 3]
+    assert specs[0].action == "ignore" and specs[0].field == "text"
+    assert specs[3].field == "tool" and specs[3].template == "{1}"
+    assert specs[2].template == "err {1} step {3}: {2}"
+
+
+def test_compile_sinks_and_groups():
+    c = compile_rules(DSL)
+    assert c.sink_ids == ["ignored", "authfail", "error", "toolcall", "unmatched"]
+    assert c.by_name("error").n_groups == 3
+    assert c.max_groups == 3
+
+
+def test_template_render_row():
+    t = compile_template("err {1} step {3}: {2}")
+    assert t.render_row("whole", ["404", "boom", "7"]) == "err 404 step 7: boom"
+    t0 = compile_template("<{0}>")
+    assert t0.render_row("abc", []) == "<abc>"
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "rule x match /a(/ ignore",             # bad regex
+        "rule x match /a/ count",               # count without key
+        "rule x match /a/ report no-quotes",    # report without quotes
+        "rule x match /a/ frobnicate",          # unknown action
+        "rule unmatched match /a/ ignore",      # reserved name
+        "rule x match /(a)/ count {2}",         # group out of range
+        "rule x match /a/ ignore\nrule x match /b/ ignore",  # dup name
+    ],
+)
+def test_bad_dsl_raises(bad):
+    with pytest.raises(RuleSyntaxError):
+        compile_rules(bad)
+
+
+def test_load_default_rules_fixture():
+    c = load_rules("/root/repo/rules/default.rules")
+    assert len(c.rules) == 4
+    assert c.by_name("heartbeat").spec.action == "ignore"
+
+
+def test_dispatch_case_sql_duckdb_runs():
+    import duckdb
+
+    c = compile_rules(DSL)
+    sql = dispatch_case_sql(c, dialect="duckdb")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT {sql} AS sink_id FROM (
+          SELECT * FROM (VALUES
+            ('heartbeat ping seq=12', NULL),
+            ('login failed for user bob from 1.2.3.4', NULL),
+            ('ERROR 500: boom in step 3', NULL),
+            ('hello world', 'search(arg=q)'),
+            ('hello world', 'search'),
+            ('heartbeat ping seq=12 extra', NULL)
+          ) AS t(text, tool))
+        """
+    ).fetchall()
+    assert [r[0] for r in rows] == [
+        "ignored", "authfail", "error", "toolcall", "unmatched", "unmatched",
+    ]
