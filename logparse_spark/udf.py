@@ -1,0 +1,123 @@
+"""Arrow UDF wrapper around the kernel + a pure-SQL dispatch alternative.
+
+Exactly ONE JVM<->Python crossing per row batch (SURVEY.md §4
+"vectorized execution"): all regex work — first-match dispatch, capture
+extraction, template render — is fused into a single scalar pandas UDF
+returning a struct, so Arrow RecordBatches cross the boundary once.
+
+The pure-SQL variant (``dispatch_sql_columns``) expresses the same
+ordered first-match semantics as chained ``rlike`` CASE + ``regexp_extract``
+— fully JVM-side/codegen, no Python at all. It is kept as an alternate
+physical strategy (bench compares both); the UDF is the default because
+real LogParse rule sets lean on Perl-regex features Java regex lacks.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .kernel import parse_and_match_pandas
+from .rules import CompiledRules, SINK_UNMATCHED, compile_rules
+
+MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("rule_id", T.IntegerType(), True),
+        T.StructField("rule_name", T.StringType(), True),
+        T.StructField("action", T.StringType(), True),
+        T.StructField("sink_id", T.StringType(), True),
+        T.StructField("count_key", T.StringType(), True),
+        T.StructField("rendered", T.StringType(), True),
+        T.StructField("captures", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+MATCH_COLUMNS = [f.name for f in MATCH_SCHEMA.fields]
+
+
+def make_parse_and_match_udf(compiled: CompiledRules):
+    """Build the scalar pandas UDF. The compiled plan (a few small regex
+    objects) is captured in the closure — pickled once per executor,
+    never per row (SURVEY.md §3.3)."""
+    # capture only what's needed; re.Pattern pickles by (pattern, flags)
+    rules_source = compiled.source_text
+
+    @F.pandas_udf(MATCH_SCHEMA)
+    def parse_and_match(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
+        # lazy recompile per worker keeps the closure tiny and immune to
+        # pickle quirks of compiled regexes across Python versions
+        plan = _worker_plan(rules_source)
+        return parse_and_match_pandas(text, tool, plan)
+
+    return parse_and_match
+
+
+_WORKER_PLAN_CACHE: dict[str, CompiledRules] = {}
+
+
+def _worker_plan(rules_source: str) -> CompiledRules:
+    plan = _WORKER_PLAN_CACHE.get(rules_source)
+    if plan is None:
+        plan = compile_rules(rules_source)
+        _WORKER_PLAN_CACHE[rules_source] = plan
+    return plan
+
+
+def with_match(df: DataFrame, compiled: CompiledRules,
+               text_col: str = "text", tool_col: str = "tool") -> DataFrame:
+    """df + the expanded match struct columns (one UDF stage)."""
+    udf = make_parse_and_match_udf(compiled)
+    m = udf(F.col(text_col), F.col(tool_col))
+    return df.withColumn("_m", m).select("*", "_m.*").drop("_m")
+
+
+# ---------------------------------------------------------------------------
+# Pure-SQL alternative (JVM-only): chained CASE on rlike, first match wins.
+# ---------------------------------------------------------------------------
+
+def _dispatch_col(compiled: CompiledRules, getter, default) -> Column:
+    expr: Column | None = None
+    for r in compiled.rules:
+        col = F.col(r.spec.field)
+        cond = col.isNotNull() & col.rlike(r.spec.pattern)
+        val = getter(r)
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    assert expr is not None
+    return expr.otherwise(default)
+
+
+def _template_col(rule, col: Column) -> Column:
+    if rule.template is None:
+        return F.lit(None).cast("string")
+    pieces = []
+    for kind, val in rule.template.parts:
+        if kind == "lit":
+            pieces.append(F.lit(val))
+        else:
+            pieces.append(F.regexp_extract(col, rule.spec.pattern, int(val)))
+    return F.concat(*pieces) if len(pieces) > 1 else pieces[0]
+
+
+def with_match_sql(df: DataFrame, compiled: CompiledRules) -> DataFrame:
+    """Same output columns as ``with_match`` (minus captures), built from
+    Catalyst expressions only — whole-stage-codegen end to end."""
+    out = (
+        df.withColumn("rule_id", _dispatch_col(compiled, lambda r: F.lit(r.rule_id), F.lit(None).cast("int")))
+        .withColumn("rule_name", _dispatch_col(compiled, lambda r: F.lit(r.spec.name), F.lit(None).cast("string")))
+        .withColumn("action", _dispatch_col(compiled, lambda r: F.lit(r.spec.action), F.lit(SINK_UNMATCHED)))
+        .withColumn("sink_id", _dispatch_col(compiled, lambda r: F.lit(r.sink_id), F.lit(SINK_UNMATCHED)))
+    )
+    rendered = _dispatch_col(
+        compiled,
+        lambda r: _template_col(r, F.col(r.spec.field)),
+        F.col("text"),
+    )
+    count_key = _dispatch_col(
+        compiled,
+        lambda r: _template_col(r, F.col(r.spec.field)) if r.spec.action == "count"
+        else F.lit(None).cast("string"),
+        F.lit(None).cast("string"),
+    )
+    return out.withColumn("rendered", rendered).withColumn("count_key", count_key)

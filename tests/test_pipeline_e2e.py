@@ -1,0 +1,179 @@
+"""End-to-end reference parity (SURVEY.md §5.2 layer 4 + properties).
+
+The full Spark pipeline (bucket/salt -> Arrow UDF parse -> enrich ->
+route -> aggregate) must agree with the scalar pure-pandas
+"mini-LogParse" oracle on:
+  - per-sink aggregate counts (BASELINE.json:14 equality target)
+  - routed-row text equality under (conv_id, turn_idx) order
+  - keyed COUNT tallies
+"""
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from logparse_spark import pipeline, stages
+from logparse_spark.rules import load_rules
+from logparse_spark.sinks import SinkSet, committed_buckets
+from tests import oracle_ref
+
+RULES = "/root/repo/rules/default.rules"
+COMPILED = load_rules(RULES)
+
+
+@pytest.fixture(scope="module")
+def oracle(fixture_sf_small):
+    pdf = pq.read_table(f"{fixture_sf_small}/transcripts.parquet").to_pandas()
+    return oracle_ref.run_oracle(pdf, COMPILED)
+
+
+@pytest.fixture(scope="module")
+def run_out(spark, fixture_sf_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe_out"))
+    res = pipeline.run(
+        spark,
+        source_path=f"{fixture_sf_small}/transcripts.parquet",
+        out_dir=out,
+        rules_path=RULES,
+        dict_dir=fixture_sf_small,
+        buckets=16,
+        salt_buckets=4,
+        groups=2,
+        hot_threshold=500,
+    )
+    return out, res
+
+
+def test_sink_counts_match_oracle(spark, run_out, oracle):
+    out, res = run_out
+    sink = SinkSet(out_dir=out)
+    got = {
+        r["sink_id"]: r["rows"]
+        for r in sink.lineage_df(spark).groupBy("sink_id").agg(F.sum("rows").alias("rows")).collect()
+    }
+    want = dict(zip(*oracle_ref.sink_counts(oracle).T.values.tolist())) if False else {
+        r.sink_id: int(r.n) for r in oracle_ref.sink_counts(oracle).itertuples()
+    }
+    assert got == want
+    # conservation: sum over sinks == input rows (property b)
+    assert sum(got.values()) == len(oracle)
+    assert res.total_rows_processed == len(oracle)
+
+
+def test_routed_rows_match_oracle(spark, run_out, oracle):
+    out, _ = run_out
+    got = (
+        SinkSet(out_dir=out)
+        .read_routed(spark)
+        .select("sink_id", "conv_id", "turn_idx", "rendered")
+        .toPandas()
+        .sort_values(["sink_id", "conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = oracle_ref.routed_rows(oracle)
+    pd.testing.assert_frame_equal(
+        got.astype({"turn_idx": "int64"}), want.astype({"turn_idx": "int64"})
+    )
+
+
+def test_keyed_counts_match_oracle(spark, run_out, oracle):
+    out, _ = run_out
+    got = (
+        stages.keyed_counts(SinkSet(out_dir=out).read_routed(spark))
+        .toPandas()
+        .sort_values(["rule_name", "count_key"])
+        .reset_index(drop=True)
+    )
+    want = oracle_ref.keyed_counts(oracle)
+    pd.testing.assert_frame_equal(got.astype({"n": "int64"}), want.astype({"n": "int64"}))
+
+
+def test_enrichment_broadcast_join(spark, fixture_sf_small):
+    df = stages.read_transcripts(spark, f"{fixture_sf_small}/transcripts.parquet")
+    role_dict = spark.read.parquet(f"{fixture_sf_small}/role_dict.parquet")
+    tool_dict = spark.read.parquet(f"{fixture_sf_small}/tool_dict.parquet")
+    enriched = stages.enrich(df, role_dict, tool_dict)
+    # unknown_role rows survive with null role_class (left join)
+    unk = enriched.filter(F.col("role") == "unknown_role")
+    assert unk.count() > 0
+    assert unk.filter(F.col("role_class").isNotNull()).count() == 0
+    # physical plan uses broadcast joins, not shuffle joins
+    plan = enriched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_resume_after_injected_failure(spark, fixture_sf_small, tmp_path_factory):
+    """Property (d): kill mid-run, resume, final state identical."""
+    out_a = str(tmp_path_factory.mktemp("resume_a"))
+    out_b = str(tmp_path_factory.mktemp("resume_b"))
+    kw = dict(
+        source_path=f"{fixture_sf_small}/transcripts.parquet",
+        rules_path=RULES, buckets=8, groups=4,
+    )
+    # clean single run
+    pipeline.run(spark, out_dir=out_a, **kw)
+    # crashed run: only 2 of 4 groups commit
+    with pytest.raises(RuntimeError, match="injected failure"):
+        pipeline.run(spark, out_dir=out_b, fail_after_groups=2, **kw)
+    committed_mid = committed_buckets(out_b)
+    assert 0 < len(committed_mid) < 8
+    # resume completes the remaining buckets only
+    res = pipeline.run(spark, out_dir=out_b, **kw)
+    assert set(res.skipped_buckets) == committed_mid
+    assert committed_buckets(out_b) == set(range(8))
+    a = (
+        SinkSet(out_dir=out_a).read_routed(spark)
+        .select("sink_id", "conv_id", "turn_idx", "rendered")
+        .toPandas().sort_values(["sink_id", "conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    b = (
+        SinkSet(out_dir=out_b).read_routed(spark)
+        .select("sink_id", "conv_id", "turn_idx", "rendered")
+        .toPandas().sort_values(["sink_id", "conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_salted_equals_unsalted(spark, fixture_sf_small, tmp_path_factory):
+    """Property (c): salting changes layout, never results."""
+    outs = []
+    for hot_threshold in (None, 1):  # threshold=1 -> everything salted
+        out = str(tmp_path_factory.mktemp("salt"))
+        pipeline.run(
+            spark,
+            source_path=f"{fixture_sf_small}/transcripts.parquet",
+            out_dir=out, rules_path=RULES, buckets=8,
+            hot_threshold=hot_threshold, salt_buckets=4,
+        )
+        outs.append(
+            SinkSet(out_dir=out).read_routed(spark)
+            .select("sink_id", "conv_id", "turn_idx", "rendered")
+            .toPandas().sort_values(["sink_id", "conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_sql_engine_matches_udf_engine(spark, fixture_sf_small):
+    """The pure-SQL dispatch alternative agrees with the Arrow UDF."""
+    df = stages.read_transcripts(spark, f"{fixture_sf_small}/transcripts.parquet")
+    a = (
+        stages.parse_match(df, COMPILED, engine="udf")
+        .select("conv_id", "turn_idx", "rule_name", "action", "sink_id", "rendered")
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    b = (
+        stages.parse_match(df, COMPILED, engine="sql")
+        .select("conv_id", "turn_idx", "rule_name", "action", "sink_id", "rendered")
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_report_render(spark, run_out):
+    out, _ = run_out
+    txt = pipeline.render_report(spark, out, COMPILED)
+    assert "rule heartbeat (ignore):" in txt
+    assert "rule authfail (count):" in txt
+    assert "unmatched:" in txt
