@@ -1,38 +1,60 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship parse->enrich->aggregate over the
+deterministic sf0.001 transcripts fixture (the BASELINE.json:15
+input_hint shape, synthesized in-repo; see FIXTURES.md).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 plus the corpus/training-data ops, each paired with
+DuckDB SQL the driver runs side-by-side at sf=0.01. Transcripts
+queries read the committed fixture parquet via ``read_parquet`` in
+the oracle; corpus queries use the driver's pre-registered views.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline classification -> enriched per-sink summary."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logparse_spark import stages
+    from logparse_spark.fixtures import ensure_fixture
+    from logparse_spark.queries import _rules
+
+    d = ensure_fixture("0.001")
+    df = stages.read_transcripts(spark, os.path.join(d, "transcripts.parquet"))
+    role_dict = spark.read.parquet(os.path.join(d, "role_dict.parquet"))
+    tool_dict = spark.read.parquet(os.path.join(d, "tool_dict.parquet"))
+    cdf = stages.parse_match(df, _rules())
+    cdf = stages.enrich(cdf, role_dict, tool_dict)
+    routed = stages.routed(cdf)
+    return (
+        routed.groupBy("sink_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+        .orderBy("sink_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from logparse_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from logparse_spark.queries import all_oracles
+
+    return all_oracles()

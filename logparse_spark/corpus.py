@@ -1,0 +1,573 @@
+"""Training-data / corpus operators over the driver tables.
+
+Large-scale training-data pipeline ops (dedup, similarity search,
+text analysis, event analytics) expressed Spark-first over the
+driver's ``documents`` / ``embeddings`` / ``events`` parquet tables,
+each paired with a DuckDB oracle that reproduces the computation
+bit-for-bit (md5-based hashing, integer counts, double-precision
+arithmetic with identical evaluation order).
+
+Design notes for 100 TB scale are in each docstring; everything here
+is shuffle-aware: dedup is hash-groupBy (map-side partial), MinHash
+LSH banding turns all-pairs O(n^2) into an equi-join on band keys,
+and brute-force ANN is the verifiable baseline for the bucketed
+variant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DIM = 64  # embedding dimensionality of the driver's embeddings table
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+_WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"          # spark
+_WORDS_DUCK = "regexp_extract_all(lower(text), '[a-z0-9]+')"        # duckdb
+
+
+def _with_words(df: DataFrame) -> DataFrame:
+    return df.withColumn("ws", F.expr(_WORDS))
+
+
+def _with_bigrams(df: DataFrame) -> DataFrame:
+    """Distinct word-2-gram shingles per doc (empty when <2 words)."""
+    big = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.concat(
+            F.element_at(F.col("ws"), i), F.lit(" "), F.element_at(F.col("ws"), i + 1)
+        ),
+    )
+    return df.withColumn(
+        "shingles",
+        F.when(F.size("ws") >= 2, F.array_distinct(big)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+
+
+_BIGRAMS_DUCK = (
+    "list_distinct(list_transform(range(1, len(ws)), "
+    "i -> ws[i] || ' ' || ws[i+1]))"
+)
+
+
+def _dot64(a: str, b: str, dialect: str) -> str:
+    """64-term double-precision dot product with identical left-assoc
+    evaluation order in both engines (arrays are 1-indexed in both
+    DuckDB subscripts and Spark element_at)."""
+    if dialect == "duckdb":
+        terms = [f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))" for i in range(1, DIM + 1)]
+    else:
+        terms = [
+            f"(CAST(element_at({a}, {i}) AS DOUBLE) * CAST(element_at({b}, {i}) AS DOUBLE))"
+            for i in range(1, DIM + 1)
+        ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text); keeper = min doc_id.
+
+    Scale: one shuffle on the 32-hex-char hash (never the full text);
+    partial aggregation map-side; at 100 TB add an xxhash64 pre-pass
+    and only md5 on colliding buckets."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via MinHash + LSH banding.
+
+    shingle(word 2-grams) -> 8 md5-minhashes -> 4 bands of 2 -> docs
+    sharing any band key are candidates. The O(n^2) all-pairs problem
+    becomes an equi-join on (band, key): shuffle is proportional to
+    docs x bands, not pairs. Skewed band keys (boilerplate dups) are
+    the classic hazard — AQE skew-join handles moderate cases; a salt
+    + cap on bucket size is the 100 TB mitigation."""
+    sh = (
+        _with_bigrams(_with_words(_docs(spark, sf_dir)))
+        .select("doc_id", F.explode("shingles").alias("s"))
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}") for j in range(8)]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.concat(F.col(f"h{2*b}"), F.lit("|"), F.col(f"h{2*b+1}")).alias("k"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.b", "band.k")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.k") == F.col("b.k"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard overlap for same-source doc pairs.
+
+    Inverted-index join on the shingle (never a cartesian product):
+    pairs sharing >=1 shingle only. Integer outputs (n_shared, sizes)
+    so jaccard = n_shared/(n_a+n_b-n_shared) is reader-side."""
+    sh = (
+        _with_bigrams(_with_words(_docs(spark, sf_dir)))
+        .select("doc_id", "source", F.explode("shingles").alias("s"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .select("doc_a", "doc_b", "n_shared", "n_a", "n_b")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint from distinct word tokens.
+
+    Bit i of each word's md5 is read from hex nibble i (>=8 -> 1);
+    per-doc weight_i = sum(+1/-1); fingerprint = sum(2^i * [w_i>0]).
+    Pure integer arithmetic -> engine-exact."""
+    words = (
+        _with_words(_docs(spark, sf_dir))
+        .select("doc_id", F.explode(F.array_distinct("ws")).alias("w"))
+        .withColumn("h", F.md5("w"))
+    )
+    bit_sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", i + 1, 1).isin(*_HEX_HIGH), 1).otherwise(-1)
+            ).alias(f"w{i}")
+            for i in range(16)
+        ]
+    )
+    fp = None
+    for i in range(16):
+        term = F.when(F.col(f"w{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bit_sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals: token count, alnum mass, raw length.
+
+    All JVM-side regexp (whole-stage codegen), no Python."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"size({_WORDS})").cast("long").alias("n_tokens"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")).cast("long").alias("n_alnum"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+def q_lang_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English stopword density over tokens."""
+    df = _with_words(_docs(spark, sf_dir))
+    n_stop = F.size(F.filter(F.col("ws"), lambda w: w.isin("the", "a", "of", "and")))
+    df = df.select(
+        "doc_id", "lang",
+        n_stop.cast("long").alias("n_en_stop"),
+        F.size("ws").cast("long").alias("n_tokens"),
+    )
+    return df.withColumn(
+        "guess_en",
+        F.when(F.col("n_en_stop") * 12 >= F.col("n_tokens"), F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency (the BPE-prep histogram): explode + count."""
+    return (
+        _with_words(_docs(spark, sf_dir))
+        .select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 around vec_id=0 (the ANN baseline).
+
+    Dot products in double precision with the same left-assoc term
+    order as the oracle -> bit-identical similarities. Scale path:
+    broadcast the query vector(s); per-partition partial top-k then a
+    single global merge (orderBy+limit) — no global sort of all rows."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = _dot64("embedding", "qe", "spark")
+    na = _dot64("embedding", "embedding", "spark")
+    nq = _dot64("qe", "qe", "spark")
+    sim = f"({dot} / (sqrt({na}) * sqrt({nq})))"
+    scored = joined.select("vec_id", F.round(F.expr(sim), 6).alias("sim_r"))
+    w = Window.orderBy(F.desc("sim_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("rk", "vec_id", "sim_r")
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the scale path): 6-bit random-hyperplane
+    signature; candidates = vectors in the query's bucket; exact
+    cosine re-rank inside the bucket only.
+
+    At 100 TB the signature is the shuffle/partition key: each query
+    touches one bucket (~n/64 of the data) instead of everything."""
+    emb = _emb(spark, sf_dir).withColumn("bucket", _lsh_bucket_col())
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    cand = emb.filter(F.col("vec_id") != 0).join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    )
+    dot = _dot64("embedding", "qe", "spark")
+    na = _dot64("embedding", "embedding", "spark")
+    nq = _dot64("qe", "qe", "spark")
+    sim = f"({dot} / (sqrt({na}) * sqrt({nq})))"
+    scored = cand.select("vec_id", F.round(F.expr(sim), 6).alias("sim_r"))
+    w = Window.orderBy(F.desc("sim_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("rk", "vec_id", "sim_r")
+    )
+
+
+def _hyperplane(j: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: md5-derived in [-0.5, 0.5].
+
+    Python-side constants embedded as literals in BOTH engines' SQL,
+    so there is no cross-engine RNG to disagree."""
+    import hashlib
+
+    out = []
+    for i in range(DIM):
+        h = hashlib.md5(f"hp{j}_{i}".encode()).hexdigest()
+        out.append((int(h[:8], 16) % 10_000) / 10_000.0 - 0.5)
+    return out
+
+
+def _lsh_bucket_sql(col: str, dialect: str) -> str:
+    """The 6-bit signature as a SQL expression over array column `col`."""
+    parts = []
+    for j in range(6):
+        hp = _hyperplane(j)
+        if dialect == "duckdb":
+            terms = [f"(CAST({col}[{i+1}] AS DOUBLE) * {hp[i]!r})" for i in range(DIM)]
+        else:
+            terms = [f"(CAST(element_at({col}, {i+1}) AS DOUBLE) * {hp[i]!r})" for i in range(DIM)]
+        dot = "(" + " + ".join(terms) + ")"
+        parts.append(f"(CASE WHEN {dot} > 0 THEN {2**j} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def _lsh_bucket_col():
+    return F.expr(_lsh_bucket_sql("embedding", "spark"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + Arrow-batched feature extraction)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary feature extraction via mapInPandas.
+
+    Real pipeline shape for image/audio payloads: a binary column +
+    typed metadata flows through an Arrow-batched Python stage. The
+    "decode" here is a deterministic stand-in (byte length + first
+    byte) because media libs aren't in this container — the Spark
+    plumbing (schema, batching, column pruning) is the real thing."""
+    import pandas as pd
+
+    from .packaging import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            blobs = pdf["blob"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": blobs.map(len).astype("int64"),
+                    "head_byte": blobs.map(lambda b: int(b[0]) if len(b) else -1).astype("int64"),
+                }
+            )
+
+    return docs.mapInPandas(extract, "doc_id long, n_bytes long, head_byte long")
+
+
+# ---------------------------------------------------------------------------
+# Event analytics (streaming-analog batch queries)
+# ---------------------------------------------------------------------------
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-minute windows per event_type (batch analog of a
+    streaming windowed count; same groupBy runs under readStream)."""
+    df = _events(spark, sf_dir).withColumn(
+        "minute", F.date_format(F.date_trunc("minute", F.col("ts")), "yyyy-MM-dd HH:mm")
+    )
+    return df.groupBy("minute", "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction + aggregate (get_json_object, JVM-side)."""
+    df = _events(spark, sf_dir).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return df.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"), F.count("*").alias("n")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user via lag window.
+
+    Exact wall-clock microsecond arithmetic: the parquet ts is
+    TIMESTAMP_NTZ in Spark 4 (inferTimestampNTZ), so timestampdiff is
+    tz-independent and matches DuckDB's naive epoch_us exactly."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df = (
+        _events(spark, sf_dir)
+        .withColumn("pts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("pts").isNull()
+                | (F.expr("timestampdiff(MICROSECOND, pts, ts)") > 1_800_000_000),
+                1,
+            ).otherwise(0),
+        )
+    )
+    return df.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+def corpus_oracles() -> dict[str, str]:
+    words_cte = f"SELECT doc_id, source, lang, text, {_WORDS_DUCK} AS ws FROM documents"
+    sh_cte = (
+        f"SELECT doc_id, source, unnest({_BIGRAMS_DUCK}) AS s "
+        f"FROM ({words_cte}) WHERE len(ws) >= 2"
+    )
+    sig_cols = ", ".join(
+        f"min(md5('{j}:' || s)) AS h{j}" for j in range(8)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS b, h{2*b} || '|' || h{2*b+1} AS k FROM sig"
+        for b in range(4)
+    )
+    dot = _dot64("e.embedding", "q.qe", "duckdb")
+    na = _dot64("e.embedding", "e.embedding", "duckdb")
+    nq = _dot64("q.qe", "q.qe", "duckdb")
+    sim = f"({dot} / (sqrt({na}) * sqrt({nq})))"
+    bucket_e = _lsh_bucket_sql("e.embedding", "duckdb")
+    bucket_q = _lsh_bucket_sql("q.qe", "duckdb")
+
+    return {
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "minhash_lsh": f"""
+            WITH sh AS ({sh_cte}),
+            sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+            bands AS ({band_selects})
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+        """,
+        "jaccard_pairs": f"""
+            WITH sh AS ({sh_cte}),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+              FROM sh a JOIN sh b
+                ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT p.doc_a, p.doc_b, p.n_shared,
+                   sa.n AS n_a, sb.n AS n_b
+            FROM pairs p
+            JOIN sizes sa ON p.doc_a = sa.doc_id
+            JOIN sizes sb ON p.doc_b = sb.doc_id
+        """,
+        "simhash": f"""
+            WITH w AS (
+              SELECT doc_id, unnest(list_distinct(ws)) AS wd
+              FROM ({words_cte})
+            ),
+            h AS (SELECT doc_id, md5(wd) AS h FROM w),
+            bits AS (
+              SELECT doc_id,
+                {", ".join(
+                    "sum(CASE WHEN substr(h, %d, 1) IN ('8','9','a','b','c','d','e','f') "
+                    "THEN 1 ELSE -1 END) AS w%d" % (i + 1, i) for i in range(16)
+                )}
+              FROM h GROUP BY doc_id
+            )
+            SELECT doc_id,
+              CAST({" + ".join(f"(CASE WHEN w{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(16))} AS BIGINT) AS simhash
+            FROM bits
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   len({_WORDS_DUCK}) AS n_tokens,
+                   length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS n_alnum,
+                   length(text) AS text_len
+            FROM documents
+        """,
+        "lang_stopword": f"""
+            SELECT doc_id, lang,
+                   len(list_filter(ws, w -> w IN ('the','a','of','and'))) AS n_en_stop,
+                   len(ws) AS n_tokens,
+                   CASE WHEN len(list_filter(ws, w -> w IN ('the','a','of','and'))) * 12
+                             >= len(ws) THEN 1 ELSE 0 END AS guess_en
+            FROM ({words_cte})
+        """,
+        "token_freq": f"""
+            SELECT word, count(*) AS n FROM (
+              SELECT unnest(ws) AS word FROM ({words_cte})
+            ) GROUP BY word
+        """,
+        "ann_cosine": f"""
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id, round({sim}, 6) AS sim_r
+              FROM embeddings e, q WHERE e.vec_id <> 0
+            )
+            SELECT rk, vec_id, sim_r FROM (
+              SELECT *, row_number() OVER (ORDER BY sim_r DESC, vec_id) AS rk
+              FROM scored
+            ) WHERE rk <= 10
+        """,
+        "ann_lsh": f"""
+            WITH b AS (SELECT e.vec_id, e.embedding, {bucket_e} AS bucket
+                       FROM embeddings e),
+            q AS (SELECT e.embedding AS qe, {bucket_e} AS qbucket
+                  FROM embeddings e WHERE e.vec_id = 0),
+            scored AS (
+              SELECT e.vec_id, round({sim}, 6) AS sim_r
+              FROM b e JOIN q ON e.bucket = q.qbucket
+              WHERE e.vec_id <> 0
+            )
+            SELECT rk, vec_id, sim_r FROM (
+              SELECT *, row_number() OVER (ORDER BY sim_r DESC, vec_id) AS rk
+              FROM scored
+            ) WHERE rk <= 5
+        """,
+        "multimodal_features": """
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                   CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte
+            FROM documents
+        """,
+        "events_windowed": """
+            SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,
+                   event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_json": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "sessionize": """
+            WITH x AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS pus
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(sum(CASE WHEN pus IS NULL OR us - pus > 1800000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM x GROUP BY user_id
+        """,
+    }
+
+
+CORPUS_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "minhash_lsh": q_minhash_lsh,
+    "jaccard_pairs": q_jaccard_pairs,
+    "simhash": q_simhash,
+    "doc_quality": q_doc_quality,
+    "lang_stopword": q_lang_stopword,
+    "token_freq": q_token_freq,
+    "ann_cosine": q_ann_cosine,
+    "ann_lsh": q_ann_lsh,
+    "multimodal_features": q_multimodal_features,
+    "events_windowed": q_events_windowed,
+    "events_json": q_events_json,
+    "sessionize": q_sessionize,
+}

@@ -1,1 +1,6 @@
-from .gen_transcripts import ensure_fixture, gen_transcripts  # noqa: F401
+from .gen_transcripts import (  # noqa: F401
+    ensure_fixture,
+    fixture_dir,
+    gen_transcripts,
+    sf_from_dir,
+)

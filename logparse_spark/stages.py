@@ -72,6 +72,9 @@ def bucket_and_salt(
 def parse_match(df: DataFrame, compiled: CompiledRules, engine: str = "udf") -> DataFrame:
     """Parse + first-match dispatch (P1-P3, A1-A4 classification)."""
     if engine == "udf":
+        from .packaging import ensure_shipped
+
+        ensure_shipped(df.sparkSession)
         return with_match(df, compiled)
     if engine == "sql":
         return with_match_sql(df, compiled)
