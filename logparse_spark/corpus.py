@@ -50,19 +50,21 @@ def _with_words(df: DataFrame) -> DataFrame:
 
 
 def _with_bigrams(df: DataFrame) -> DataFrame:
-    """Distinct word-2-gram shingles per doc (empty when <2 words)."""
-    big = F.transform(
-        F.sequence(F.lit(1), F.size("ws") - 1),
-        lambda i: F.concat(
-            F.element_at(F.col("ws"), i), F.lit(" "), F.element_at(F.col("ws"), i + 1)
-        ),
+    """Distinct word-2-gram shingles per doc (empty when <2 words).
+
+    Implementation note: slice+zip_with, NOT transform(sequence(i),
+    element_at(ws, i)). Higher-order-function lambdas are interpreted
+    (no codegen subexpression elimination), so an `element_at(ws, i)`
+    lambda re-evaluates the inlined regexp_extract_all that produced
+    `ws` once PER ELEMENT — O(words^2) regex work per document.
+    slice/zip_with evaluate `ws` a constant number of times per row."""
+    n1 = F.greatest(F.size("ws") - 1, F.lit(0))
+    big = F.zip_with(
+        F.slice(F.col("ws"), 1, n1),
+        F.slice(F.col("ws"), 2, n1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
     )
-    return df.withColumn(
-        "shingles",
-        F.when(F.size("ws") >= 2, F.array_distinct(big)).otherwise(
-            F.array().cast("array<string>")
-        ),
-    )
+    return df.withColumn("shingles", F.array_distinct(big))
 
 
 _BIGRAMS_DUCK = (

@@ -26,6 +26,7 @@ SF_SIZES = {
     "0.001": (5_000, 300),
     "0.01": (60_000, 3_000),
     "0.1": (600_000, 30_000),
+    "1": (6_000_000, 300_000),  # scaling-bench scale, generated on demand
 }
 
 ROLES = ["user", "assistant", "system", "tool"]

@@ -82,20 +82,19 @@ class SinkSet:
         cols = ["bucket", "sink_id", "conv_id", "turn_idx", "role", "ts",
                 "rule_id", "rule_name", "action", "count_key", "rendered"]
         keep = [c for c in cols if c in df.columns]
-        out = df.select(*keep).sortWithinPartitions("conv_id", "turn_idx")
+        # Sort key starts with the dynamic-partition column so the file
+        # writer's required ordering is already satisfied (no extra sort,
+        # one sequential open writer per task); (conv_id, turn_idx) after
+        # it preserves the routed-row equality order within each sink.
+        out = df.select(*keep).sortWithinPartitions("sink_id", "conv_id", "turn_idx")
         (
             out.write.mode("append")
-            .partitionBy("bucket", "sink_id")
+            .partitionBy("sink_id")
             .parquet(self._run_dir())
         )
-        # lineage metrics: tiny aggregate (B x sinks rows) collected to driver
-        spark = df.sparkSession
-        stats = (
-            spark.read.parquet(self._run_dir())
-            .groupBy("bucket", "sink_id")
-            .count()
-            .collect()
-        )
+        # lineage metrics: tiny hash-aggregate over the (persisted) frame —
+        # no re-read of the files just written
+        stats = df.groupBy("bucket", "sink_id").count().collect()
         lineage: dict[int, dict] = {}
         for r in stats:
             b = int(r["bucket"])

@@ -51,7 +51,12 @@ def make_parse_and_match_udf(compiled: CompiledRules):
         plan = _worker_plan(rules_source)
         return parse_and_match_pandas(text, tool, plan)
 
-    return parse_and_match
+    # asNondeterministic is a *dedup barrier*, not a semantic statement:
+    # without it, a Filter on a UDF output field makes Catalyst emit TWO
+    # ArrowEvalPython nodes (one for the predicate, one for the
+    # projection) and every row is regex-parsed twice. Marking the UDF
+    # nondeterministic stops the optimizer from splitting/duplicating it.
+    return parse_and_match.asNondeterministic()
 
 
 _WORKER_PLAN_CACHE: dict[str, CompiledRules] = {}
@@ -77,17 +82,6 @@ def with_match(df: DataFrame, compiled: CompiledRules,
 # Pure-SQL alternative (JVM-only): chained CASE on rlike, first match wins.
 # ---------------------------------------------------------------------------
 
-def _dispatch_col(compiled: CompiledRules, getter, default) -> Column:
-    expr: Column | None = None
-    for r in compiled.rules:
-        col = F.col(r.spec.field)
-        cond = col.isNotNull() & col.rlike(r.spec.pattern)
-        val = getter(r)
-        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
-    assert expr is not None
-    return expr.otherwise(default)
-
-
 def _template_col(rule, col: Column) -> Column:
     if rule.template is None:
         return F.lit(None).cast("string")
@@ -100,24 +94,39 @@ def _template_col(rule, col: Column) -> Column:
     return F.concat(*pieces) if len(pieces) > 1 else pieces[0]
 
 
+def _rule_struct(r) -> Column:
+    rendered = _template_col(r, F.col(r.spec.field))
+    return F.struct(
+        F.lit(r.rule_id).alias("rule_id"),
+        F.lit(r.spec.name).alias("rule_name"),
+        F.lit(r.spec.action).alias("action"),
+        F.lit(r.sink_id).alias("sink_id"),
+        (rendered if r.spec.action == "count" else F.lit(None).cast("string")).alias("count_key"),
+        (rendered if r.spec.action != "ignore" else F.lit(None).cast("string")).alias("rendered"),
+    )
+
+
 def with_match_sql(df: DataFrame, compiled: CompiledRules) -> DataFrame:
     """Same output columns as ``with_match`` (minus captures), built from
-    Catalyst expressions only — whole-stage-codegen end to end."""
-    out = (
-        df.withColumn("rule_id", _dispatch_col(compiled, lambda r: F.lit(r.rule_id), F.lit(None).cast("int")))
-        .withColumn("rule_name", _dispatch_col(compiled, lambda r: F.lit(r.spec.name), F.lit(None).cast("string")))
-        .withColumn("action", _dispatch_col(compiled, lambda r: F.lit(r.spec.action), F.lit(SINK_UNMATCHED)))
-        .withColumn("sink_id", _dispatch_col(compiled, lambda r: F.lit(r.sink_id), F.lit(SINK_UNMATCHED)))
+    Catalyst expressions only — whole-stage-codegen end to end.
+
+    ONE chained CASE producing the whole match struct: each rule's
+    regex predicate is evaluated at most once per row (short-circuit
+    first-match, like the kernel), instead of once per output column."""
+    unmatched = F.struct(
+        F.lit(None).cast("int").alias("rule_id"),
+        F.lit(None).cast("string").alias("rule_name"),
+        F.lit(SINK_UNMATCHED).alias("action"),
+        F.lit(SINK_UNMATCHED).alias("sink_id"),
+        F.lit(None).cast("string").alias("count_key"),
+        F.col("text").alias("rendered"),
     )
-    rendered = _dispatch_col(
-        compiled,
-        lambda r: _template_col(r, F.col(r.spec.field)),
-        F.col("text"),
-    )
-    count_key = _dispatch_col(
-        compiled,
-        lambda r: _template_col(r, F.col(r.spec.field)) if r.spec.action == "count"
-        else F.lit(None).cast("string"),
-        F.lit(None).cast("string"),
-    )
-    return out.withColumn("rendered", rendered).withColumn("count_key", count_key)
+    expr: Column | None = None
+    for r in compiled.rules:
+        col = F.col(r.spec.field)
+        cond = col.isNotNull() & col.rlike(r.spec.pattern)
+        branch = _rule_struct(r)
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    assert expr is not None
+    m = expr.otherwise(unmatched)
+    return df.withColumn("_m", m).select("*", "_m.*").drop("_m")
