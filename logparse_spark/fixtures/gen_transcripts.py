@@ -202,7 +202,14 @@ def ensure_fixture(sf: str, base_dir: str = "/root/repo/data") -> str:
         return d
     os.makedirs(d, exist_ok=True)
     n_turns, n_convs = SF_SIZES[sf]
-    pq.write_table(gen_transcripts(n_turns, n_convs), os.path.join(d, "transcripts.parquet"))
+    # small row groups keep the file splittable: Spark assigns scan
+    # partitions at row-group granularity, so a single-row-group file
+    # would serialize the whole parse onto one core
+    pq.write_table(
+        gen_transcripts(n_turns, n_convs),
+        os.path.join(d, "transcripts.parquet"),
+        row_group_size=20_000,
+    )
     pq.write_table(gen_role_dict(), os.path.join(d, "role_dict.parquet"))
     pq.write_table(gen_tool_dict(), os.path.join(d, "tool_dict.parquet"))
     with open(marker, "w") as f:

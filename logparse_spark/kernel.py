@@ -96,9 +96,14 @@ def _render(template, groups: pd.DataFrame) -> pd.Series:
 
 def parse_and_match_pandas(
     text: pd.Series, tool: pd.Series, compiled: CompiledRules,
-    prefilter: bool = True,
+    prefilter: bool = False, slim: bool = False,
 ) -> pd.DataFrame:
-    """The kernel: one Arrow batch in, OUTPUT_COLUMNS frame out."""
+    """The kernel: one Arrow batch in, OUTPUT_COLUMNS frame out.
+
+    ``slim=True`` emits only (rule_id, rendered) — the minimum that
+    must cross the JVM boundary; rule_name/action/sink_id are
+    broadcast-joined back JVM-side from rule metadata (udf.with_match),
+    and count_key == rendered for count rules by construction."""
     n = len(text)
     text = text.reset_index(drop=True).astype(object)
     tool = tool.reset_index(drop=True).astype(object)
@@ -156,6 +161,13 @@ def parse_and_match_pandas(
     un = np.flatnonzero(unclaimed)
     if un.size:
         rendered[un] = text.iloc[un].to_numpy(dtype=object)
+
+    if slim:
+        rid = pd.Series(rule_id).astype("Int32")
+        rid[rule_id < 0] = pd.NA
+        return pd.DataFrame(
+            {"rule_id": rid, "rendered": pd.Series(rendered, dtype=object)}
+        )
 
     id2name = {r.rule_id: r.spec.name for r in compiled.rules}
     id2action = {r.rule_id: r.spec.action for r in compiled.rules}

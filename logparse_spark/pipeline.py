@@ -50,7 +50,9 @@ def classify(
     out = stages.parse_match(out, compiled, engine=engine)
     if role_dict is not None and tool_dict is not None:
         out = stages.enrich(out, role_dict, tool_dict)
-    return out
+    # raw text/tool are consumed by the parse (the routed payload is
+    # `rendered`); dropping them here halves what persist/write carry
+    return out.drop("text", "tool")
 
 
 def run(

@@ -23,6 +23,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # scan parallelism: local parquet fixtures are small; without a
+        # lower split size a whole file lands in one task and the Arrow
+        # UDF parse runs on one core
+        .config("spark.sql.files.maxPartitionBytes", "2m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))

@@ -25,22 +25,22 @@ from .rules import CompiledRules, SINK_UNMATCHED, compile_rules
 MATCH_SCHEMA = T.StructType(
     [
         T.StructField("rule_id", T.IntegerType(), True),
-        T.StructField("rule_name", T.StringType(), True),
-        T.StructField("action", T.StringType(), True),
-        T.StructField("sink_id", T.StringType(), True),
-        T.StructField("count_key", T.StringType(), True),
         T.StructField("rendered", T.StringType(), True),
-        T.StructField("captures", T.ArrayType(T.StringType()), True),
     ]
 )
 
-MATCH_COLUMNS = [f.name for f in MATCH_SCHEMA.fields]
+MATCH_COLUMNS = ["rule_id", "rule_name", "action", "sink_id", "count_key", "rendered"]
 
 
 def make_parse_and_match_udf(compiled: CompiledRules):
     """Build the scalar pandas UDF. The compiled plan (a few small regex
     objects) is captured in the closure — pickled once per executor,
-    never per row (SURVEY.md §3.3)."""
+    never per row (SURVEY.md §3.3).
+
+    Output is the *slim* struct (rule_id, rendered): the minimum bytes
+    that must cross the JVM<->Python Arrow boundary. Everything else
+    (rule_name/action/sink_id/count_key) is rule metadata derived
+    JVM-side in ``with_match`` via a broadcast join on rule_id."""
     # capture only what's needed; re.Pattern pickles by (pattern, flags)
     rules_source = compiled.source_text
 
@@ -49,7 +49,7 @@ def make_parse_and_match_udf(compiled: CompiledRules):
         # lazy recompile per worker keeps the closure tiny and immune to
         # pickle quirks of compiled regexes across Python versions
         plan = _worker_plan(rules_source)
-        return parse_and_match_pandas(text, tool, plan)
+        return parse_and_match_pandas(text, tool, plan, slim=True)
 
     # asNondeterministic is a *dedup barrier*, not a semantic statement:
     # without it, a Filter on a UDF output field makes Catalyst emit TWO
@@ -70,12 +70,38 @@ def _worker_plan(rules_source: str) -> CompiledRules:
     return plan
 
 
+def rule_metadata_df(spark, compiled: CompiledRules) -> DataFrame:
+    """Tiny (n_rules)-row metadata table for the broadcast join."""
+    rows = [
+        (r.rule_id, r.spec.name, r.spec.action, r.sink_id)
+        for r in compiled.rules
+    ]
+    return spark.createDataFrame(
+        rows, "rule_id int, rule_name string, action string, sink_id string"
+    )
+
+
 def with_match(df: DataFrame, compiled: CompiledRules,
                text_col: str = "text", tool_col: str = "tool") -> DataFrame:
-    """df + the expanded match struct columns (one UDF stage)."""
+    """df + the full MATCH_COLUMNS (one slim UDF stage + broadcast join).
+
+    The Arrow boundary carries only (rule_id int32, rendered string);
+    the constant-per-rule columns come from a broadcast hash join with
+    the rule metadata (JVM-side, no shuffle), and count_key is
+    ``rendered`` for count rules by kernel construction."""
     udf = make_parse_and_match_udf(compiled)
     m = udf(F.col(text_col), F.col(tool_col))
-    return df.withColumn("_m", m).select("*", "_m.*").drop("_m")
+    out = df.withColumn("_m", m).select("*", "_m.*").drop("_m")
+    meta = rule_metadata_df(df.sparkSession, compiled)
+    out = out.join(F.broadcast(meta), "rule_id", "left")
+    return (
+        out.withColumn("action", F.coalesce(F.col("action"), F.lit(SINK_UNMATCHED)))
+        .withColumn("sink_id", F.coalesce(F.col("sink_id"), F.lit(SINK_UNMATCHED)))
+        .withColumn(
+            "count_key",
+            F.when(F.col("action") == "count", F.col("rendered")).cast("string"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
