@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the production pipeline.
+
+Ship and run exactly as the north rule requires (BASELINE.json:6
+"ships as spark-submit --py-files modules"):
+
+    ZIP=$(python -c "from logparse_spark.packaging import build_pyfiles_zip; print(build_pyfiles_zip())")
+    spark-submit --master local[32] --py-files "$ZIP" jobs/submit_pipeline.py \
+        --source data/transcripts/sf0.1/transcripts.parquet \
+        --dict-dir data/transcripts/sf0.1 \
+        --out /tmp/routed_out --rules rules/default.rules \
+        --buckets 64 --salt-buckets 8 --groups 4
+
+On a real cluster the same command with --master yarn/k8s and an
+Iceberg catalog config is the production deployment; resume works by
+re-running the identical command (committed buckets are skipped).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="logparse_spark pipeline job")
+    p.add_argument("--source", required=True, help="transcripts parquet path")
+    p.add_argument("--out", required=True, help="sink output root")
+    p.add_argument("--rules", default="rules/default.rules")
+    p.add_argument("--dict-dir", default=None, help="role/tool dict parquet dir")
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--salt-buckets", type=int, default=8)
+    p.add_argument("--groups", type=int, default=1,
+                   help="commit granularity: bucket groups per run")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--hot-threshold", type=int, default=None)
+    p.add_argument("--engine", choices=["udf", "sql"], default="udf")
+    p.add_argument("--report", default=None, help="write the LogParse-style text report here")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("logparse_spark.pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from logparse_spark import pipeline
+    from logparse_spark.rules import load_rules
+
+    result = pipeline.run(
+        spark,
+        source_path=args.source,
+        out_dir=args.out,
+        rules_path=args.rules,
+        dict_dir=args.dict_dir,
+        buckets=args.buckets,
+        salt_buckets=args.salt_buckets,
+        groups=args.groups,
+        resume=not args.no_resume,
+        hot_threshold=args.hot_threshold,
+        engine=args.engine,
+    )
+    if args.report:
+        report = pipeline.render_report(spark, args.out, load_rules(args.rules))
+        with open(args.report, "w", encoding="utf-8") as f:
+            f.write(report)
+    print(json.dumps({
+        "out_dir": result.out_dir,
+        "processed_buckets": len(result.processed_buckets),
+        "skipped_buckets": len(result.skipped_buckets),
+        "rows": result.total_rows_processed,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,6 +27,7 @@ SF_SIZES = {
     "0.01": (60_000, 3_000),
     "0.1": (600_000, 30_000),
     "1": (6_000_000, 300_000),  # scaling-bench scale, generated on demand
+    "10": (60_000_000, 3_000_000),  # compute-dominated scaling scale
 }
 
 ROLES = ["user", "assistant", "system", "tool"]

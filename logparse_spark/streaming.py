@@ -1,0 +1,125 @@
+"""Structured Streaming wrapper over the identical batch stage functions.
+
+The reference is single-pass batch (SURVEY.md §2.3: streaming "no");
+this module is the graft's forward path: the same ``stages.*``
+DataFrame functions run unchanged under ``readStream`` because they
+are pure DataFrame->DataFrame transforms.
+
+Two surfaces:
+
+- ``run_stream``: incremental ETL via ``foreachBatch`` — each
+  micro-batch goes through parse -> route -> fan-out append, with the
+  stream checkpoint giving exactly-once file-source progress (the
+  streaming analogue of the batch manifest/resume protocol in
+  sinks.py).
+- ``windowed_sink_counts``: a stateful watermarked tumbling-window
+  aggregation (late data handled by the watermark), the streaming
+  analogue of the batch time_buckets query.
+
+``trigger(availableNow=True)`` drains everything present then stops —
+that is how tests (and backfills) run the stream to completion.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import stages
+from .rules import CompiledRules, load_rules
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampNTZType()),
+    ]
+)
+
+
+def stream_transcripts(spark: SparkSession, source_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of transcript parquet (schema fixed by the
+    input_hint; streams cannot infer schemas)."""
+    if not os.path.isdir(source_dir):
+        raise ValueError(
+            f"stream source must be a DIRECTORY of transcript parquet files "
+            f"(file streams watch directories for arrivals), got: {source_dir!r}"
+        )
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def run_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    rules_path: str = "/root/repo/rules/default.rules",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    engine: str = "udf",
+):
+    """Incremental parse->route->fan-out: identical stage functions per
+    micro-batch via foreachBatch; progress tracked by the stream
+    checkpoint (file-source exactly-once)."""
+    compiled = load_rules(rules_path)
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    sdf = stream_transcripts(spark, source_dir)
+
+    def process_batch(df: DataFrame, batch_id: int) -> None:
+        cdf = stages.parse_match(df, compiled, engine=engine)
+        routed = stages.routed(cdf).select(
+            "sink_id", "conv_id", "turn_idx", "role", "ts",
+            "rule_id", "rule_name", "action", "count_key", "rendered",
+        )
+        (
+            routed.sortWithinPartitions("sink_id", "conv_id", "turn_idx")
+            .write.mode("append").partitionBy("sink_id")
+            .parquet(os.path.join(out_dir, "routed"))
+        )
+
+    writer = (
+        sdf.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def windowed_sink_counts(
+    df_stream: DataFrame,
+    compiled: CompiledRules,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful tumbling-window per-sink counts with late-data handling.
+
+    Uses the pure-SQL dispatch engine so the whole streaming plan stays
+    JVM-side (stateful ops + Python UDFs complicate state store reuse)."""
+    cdf = stages.parse_match(df_stream, compiled, engine="sql")
+    return (
+        stages.routed(cdf)
+        # watermarks require TIMESTAMP (LTZ); parquet NTZ is cast here —
+        # wall-clock instants, tz-stable because session tz is fixed
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "sink_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "sink_id",
+            "n",
+        )
+    )

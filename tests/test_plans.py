@@ -1,0 +1,98 @@
+"""Physical-plan regression tests (SURVEY.md §4).
+
+These lock in the optimizer properties the engine's scale story
+depends on; a regression here is a silent 2-10x slowdown at 100 TB
+even though results stay correct:
+
+- exactly ONE ArrowEvalPython stage per job (no duplicated parse)
+- column pruning reaches the parquet scan (ReadSchema minimal)
+- native pre-parse filters are pushed into the scan (PushedFilters)
+- dictionary enrichment uses broadcast hash joins, never a shuffle
+  (SortMergeJoin/ShuffledHashJoin) for the small side
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparse_spark import stages
+from logparse_spark.rules import load_rules
+
+RULES = "/root/repo/rules/default.rules"
+
+
+@pytest.fixture(scope="module")
+def tpath(fixture_sf_small):
+    return os.path.join(fixture_sf_small, "transcripts.parquet")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_single_udf_eval_under_filter_and_agg(spark, tpath):
+    """A filter on a UDF output must not duplicate the parse stage."""
+    df = stages.read_transcripts(spark, tpath)
+    cdf = stages.parse_match(df, load_rules(RULES))
+    agg = stages.sink_counts(stages.routed(cdf))
+    assert _plan(agg).count("ArrowEvalPython") == 1
+
+
+def test_column_pruning_reaches_scan(spark, tpath):
+    """dispatch needs text/tool (+ids); the scan must not read role/ts."""
+    df = stages.read_transcripts(spark, tpath)
+    cdf = stages.parse_match(df, load_rules(RULES)).select("sink_id")
+    plan = _plan(cdf)
+    scan_line = [ln for ln in plan.splitlines() if "FileScan parquet" in ln][0]
+    assert "text" in scan_line and "tool" in scan_line
+    assert "role" not in scan_line and "conv_id" not in scan_line
+
+
+def test_native_filter_pushed_down(spark, tpath):
+    """Cheap native predicates run before the UDF and reach the scan."""
+    df = stages.read_transcripts(spark, tpath).filter(F.col("role") == "user")
+    cdf = stages.parse_match(df, load_rules(RULES))
+    plan = _plan(cdf)
+    assert "PushedFilters: [IsNotNull(role), EqualTo(role,user)]" in plan
+
+
+def test_enrich_uses_broadcast_join(spark, tpath, fixture_sf_small):
+    role_dict = spark.read.parquet(os.path.join(fixture_sf_small, "role_dict.parquet"))
+    tool_dict = spark.read.parquet(os.path.join(fixture_sf_small, "tool_dict.parquet"))
+    df = stages.read_transcripts(spark, tpath)
+    cdf = stages.parse_match(df, load_rules(RULES))
+    en = stages.enrich(cdf, role_dict, tool_dict)
+    plan = _plan(en)
+    assert plan.count("BroadcastHashJoin") >= 2  # role + tool (+rule meta)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_sql_engine_whole_stage_codegen(spark, tpath):
+    """The pure-SQL dispatch must stay inside whole-stage codegen."""
+    df = stages.read_transcripts(spark, tpath)
+    cdf = stages.parse_match(df, load_rules(RULES), engine="sql")
+    plan = _plan(cdf)
+    assert "*(1)" in plan  # whole-stage-codegen star marker
+    assert "ArrowEvalPython" not in plan
+
+
+def test_one_shuffle_in_pipeline_plan(spark, tpath, fixture_sf_small):
+    """classify = scan -> ONE repartition exchange -> parse -> broadcast
+    enrich; no second full-data exchange before the sinks."""
+    from logparse_spark import pipeline
+
+    role_dict = spark.read.parquet(os.path.join(fixture_sf_small, "role_dict.parquet"))
+    tool_dict = spark.read.parquet(os.path.join(fixture_sf_small, "tool_dict.parquet"))
+    df = stages.read_transcripts(spark, tpath)
+    cdf = pipeline.classify(df, load_rules(RULES), role_dict, tool_dict)
+    plan = _plan(cdf)
+    # broadcast exchanges excluded; only the explicit bucket repartition
+    n_shuffle = sum(
+        1 for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln or "Exchange RoundRobin" in ln
+    )
+    assert n_shuffle == 1, plan

@@ -88,3 +88,21 @@ def test_dispatch_case_sql_duckdb_runs():
     assert [r[0] for r in rows] == [
         "ignored", "authfail", "error", "toolcall", "unmatched", "unmatched",
     ]
+
+
+def test_load_bench_rules_fixture():
+    """The benchmark rule set compiles and dispatches on fixture text."""
+    import pandas as pd
+
+    from logparse_spark.kernel import parse_and_match_pandas
+    from logparse_spark.rules import load_rules
+
+    compiled = load_rules("/root/repo/rules/bench.rules")
+    assert len(compiled.rules) >= 30
+    out = parse_and_match_pandas(
+        pd.Series(["heartbeat ping seq=7", "login failed for user bob from 1.2.3.4",
+                   "GC pause 250ms in generation old", "plain chatter"]),
+        pd.Series([None, None, None, "grep"]),
+        compiled,
+    )
+    assert out["rule_name"].tolist() == ["heartbeat", "authfail", "gcpause", "toolbare"]

@@ -1,0 +1,81 @@
+"""Streaming wrapper tests: identical results to the batch path.
+
+Property: running the stream to completion (availableNow) over a
+multi-file source produces exactly the batch per-sink counts, and the
+checkpoint makes a re-run a no-op (streaming exactly-once).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from logparse_spark import stages, streaming
+from logparse_spark.rules import load_rules
+
+RULES = "/root/repo/rules/default.rules"
+
+
+@pytest.fixture(scope="module")
+def stream_src(tmp_path_factory, fixture_sf_small):
+    """The sf0.001 fixture split into 3 parquet files (stream arrivals)."""
+    src = tmp_path_factory.mktemp("stream_src")
+    t = pq.read_table(os.path.join(fixture_sf_small, "transcripts.parquet"))
+    n = t.num_rows
+    for i in range(3):
+        pq.write_table(t.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3),
+                       os.path.join(str(src), f"part-{i}.parquet"))
+    return str(src)
+
+
+def test_stream_matches_batch(spark, stream_src, tmp_path):
+    out = str(tmp_path / "out")
+    streaming.run_stream(spark, stream_src, out, RULES)
+
+    routed = spark.read.parquet(os.path.join(out, "routed"))
+    got = {
+        r["sink_id"]: r["n"]
+        for r in routed.groupBy("sink_id").agg(F.count("*").alias("n")).collect()
+    }
+
+    batch = stages.parse_match(
+        spark.read.parquet(stream_src), load_rules(RULES)
+    )
+    want = {
+        r["sink_id"]: r["n"]
+        for r in stages.sink_counts(stages.routed(batch)).collect()
+    }
+    assert got == want
+
+    # re-run: checkpoint has consumed all files -> no new rows appended
+    streaming.run_stream(spark, stream_src, out, RULES)
+    total_after = spark.read.parquet(os.path.join(out, "routed")).count()
+    assert total_after == sum(want.values())
+
+
+def test_windowed_counts_stateful(spark, stream_src, tmp_path):
+    compiled = load_rules(RULES)
+    sdf = streaming.stream_transcripts(spark, stream_src)
+    agg = streaming.windowed_sink_counts(sdf, compiled, window="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT sink_id, sum(n) AS n FROM win_counts GROUP BY sink_id"
+    ).collect()
+    got = {r["sink_id"]: r["n"] for r in got}
+
+    batch = stages.parse_match(spark.read.parquet(stream_src), compiled, engine="sql")
+    want = {
+        r["sink_id"]: r["n"]
+        for r in stages.sink_counts(stages.routed(batch)).collect()
+    }
+    assert got == want

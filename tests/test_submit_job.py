@@ -1,0 +1,41 @@
+"""Ship-path test: the job runs via spark-submit --py-files from a
+clean cwd (the production deployment shape, BASELINE.json:6)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+from logparse_spark.packaging import build_pyfiles_zip
+
+
+def test_spark_submit_pyfiles(tmp_path, fixture_sf_small):
+    zpath = build_pyfiles_zip(str(tmp_path))
+    out_dir = str(tmp_path / "routed")
+    report = str(tmp_path / "report.txt")
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", zpath,
+        "/root/repo/jobs/submit_pipeline.py",
+        "--source", os.path.join(fixture_sf_small, "transcripts.parquet"),
+        "--dict-dir", fixture_sf_small,
+        "--out", out_dir,
+        "--rules", "/root/repo/rules/default.rules",
+        "--buckets", "16", "--groups", "2",
+        "--report", report,
+    ]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=300, cwd=str(tmp_path)
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["processed_buckets"] == 16
+    assert result["rows"] == 5000  # every turn accounted for (sf0.001)
+    assert os.path.exists(os.path.join(out_dir, "_manifest", "committed.json"))
+    with open(report, encoding="utf-8") as f:
+        txt = f.read()
+    assert "rule authfail" in txt and "unmatched:" in txt
