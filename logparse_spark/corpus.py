@@ -325,6 +325,29 @@ def _lsh_bucket_col():
     return F.expr(_lsh_bucket_sql("embedding", "spark"))
 
 
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (blocked self-join).
+
+    Blocking key = label (at scale: an LSH bucket / IVF cell) bounds
+    the quadratic self-join; exact double-precision cosine + threshold
+    inside each block. One shuffle on the blocking key."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("label"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label"),
+                   F.col("embedding").alias("eb"))
+    j = a.join(b, ["label"]).filter(F.col("vec_a") < F.col("vec_b"))
+    dot = _dot64("ea", "eb", "spark")
+    na = _dot64("ea", "ea", "spark")
+    nb = _dot64("eb", "eb", "spark")
+    sim = f"({dot} / (sqrt({na}) * sqrt({nb})))"
+    return (
+        j.withColumn("sim_r", F.round(F.expr(sim), 6))
+        .filter(F.col("sim_r") >= 0.35)
+        .select("vec_a", "vec_b", "label", "sim_r")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns + Arrow-batched feature extraction)
 # ---------------------------------------------------------------------------
@@ -431,9 +454,20 @@ def corpus_oracles() -> dict[str, str]:
     nq = _dot64("q.qe", "q.qe", "duckdb")
     sim = f"({dot} / (sqrt({na}) * sqrt({nq})))"
     bucket_e = _lsh_bucket_sql("e.embedding", "duckdb")
-    bucket_q = _lsh_bucket_sql("q.qe", "duckdb")
+    dot_ab = _dot64("a.embedding", "b.embedding", "duckdb")
+    na_a = _dot64("a.embedding", "a.embedding", "duckdb")
+    nb_b = _dot64("b.embedding", "b.embedding", "duckdb")
+    sim_ab = f"({dot_ab} / (sqrt({na_a}) * sqrt({nb_b})))"
 
     return {
+        "dedup_embed": f"""
+            SELECT vec_a, vec_b, label, sim_r FROM (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+                     round({sim_ab}, 6) AS sim_r
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+            ) WHERE sim_r >= 0.35
+        """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
                    count(*) AS n_docs
@@ -559,6 +593,7 @@ def corpus_oracles() -> dict[str, str]:
 
 
 CORPUS_QUERIES = {
+    "dedup_embed": q_dedup_embed,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
     "jaccard_pairs": q_jaccard_pairs,
