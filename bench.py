@@ -93,21 +93,22 @@ def run_pipeline_e2e(spark, sf: str, out_dir: str) -> tuple[float, int]:
 
     t0 = time.monotonic()
     hot = stages.detect_hot_convs(
-        df, threshold=max(100, n_turns // 1000), sample_fraction=0.05
+        df, threshold=max(100, n_turns // 1000), sample_fraction=0.02
     )
     cdf = pipeline.classify(df, compiled, role_dict, tool_dict,
                             buckets=64, salt_buckets=8, hot_convs=hot)
-    cdf = cdf.persist()
-    routed = stages.routed(cdf)
     from logparse_spark.sinks import SinkSet
 
     sink = SinkSet(out_dir=out_dir)
-    lineage = sink.write_routed(routed)
+    lineage = sink.write_classified(cdf)  # the ONE pass over the data
     sink.commit(lineage)
-    counts = stages.sink_counts(routed).collect()
-    cdf.unpersist()
+    # per-sink summary (G1) folds out of the lineage metrics driver-side
+    totals: dict[str, int] = {}
+    for entry in lineage.values():
+        for s, n in entry["sinks"].items():
+            totals[s] = totals.get(s, 0) + n
     sec = time.monotonic() - t0
-    assert sum(r["n"] for r in counts) > 0
+    assert sum(totals.values()) == n_turns  # conservation property
     return sec, n_turns
 
 

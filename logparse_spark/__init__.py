@@ -16,9 +16,13 @@ udf         the Arrow UDF wrapper and pure-SQL dispatch alternative
 stages      DataFrame stage functions (parse_match, enrich, route, aggregate)
 pipeline    end-to-end orchestration: run(), report rendering, resume
 sinks       sink abstraction: parquet fan-out + atomic manifest (Iceberg stand-in)
-dicts       role/tool broadcast dictionaries
+sources     raw syslog text compatibility source (spark.read.text mode)
+streaming   Structured Streaming wrappers (foreachBatch, watermarked windows,
+            applyInPandasWithState per-conversation state)
+packaging   --py-files zip build + runtime addPyFile shipping
+queries     driver-contract registry (Spark queries + DuckDB oracle SQL)
+corpus      training-data operators (dedup, similarity, text stats, events)
 fixtures    deterministic transcripts fixture generator
-functions   training-data-pipeline operators (dedup, similarity, text stats)
 """
 
 __version__ = "0.1.0"

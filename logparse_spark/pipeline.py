@@ -45,14 +45,18 @@ def classify(
     hot_convs: list[str] | None = None,
     engine: str = "udf",
 ) -> DataFrame:
-    """The full logical plan, no actions: bucket/salt -> parse -> enrich."""
-    out = stages.bucket_and_salt(df, buckets, salt_buckets, hot_convs)
-    out = stages.parse_match(out, compiled, engine=engine)
+    """The full logical plan, no actions: parse -> enrich -> bucket/salt.
+
+    The parse runs on scan partitions (row groups spread hot
+    conversations naturally, so the UDF stage has no skew), and the
+    ONE shuffle happens after it on the parsed columns — raw text/tool
+    are dropped first, so the exchange never carries the input strings,
+    only (ids, rendered, metadata)."""
+    out = stages.parse_match(df, compiled, engine=engine)
     if role_dict is not None and tool_dict is not None:
         out = stages.enrich(out, role_dict, tool_dict)
-    # raw text/tool are consumed by the parse (the routed payload is
-    # `rendered`); dropping them here halves what persist/write carry
-    return out.drop("text", "tool")
+    out = out.drop("text", "tool")
+    return stages.bucket_and_salt(out, buckets, salt_buckets, hot_convs)
 
 
 def run(
@@ -100,22 +104,11 @@ def run(
             gdf, compiled, role_dict, tool_dict,
             buckets=buckets, salt_buckets=salt_buckets, hot_convs=hot, engine=engine,
         )
-        # two actions consume cdf (routed write + ignored counts):
-        # persist so the parse UDF runs once per group (SURVEY.md §4)
-        cdf = cdf.persist()
-        routed_df = stages.routed(cdf)
+        # single pass: ONE action writes every classified row (ignored
+        # included) and lineage comes from a metadata-cheap read-back —
+        # no persist, the parse UDF runs exactly once per group
         sink = SinkSet(out_dir=out_dir)
-        lineage = sink.write_routed(routed_df)
-        # ignored rows are counted (lineage) though not routed
-        ignored = (
-            cdf.filter(F.col("action") == "ignore")
-            .groupBy("bucket").count().collect()
-        )
-        cdf.unpersist()
-        for r in ignored:
-            entry = lineage.setdefault(int(r["bucket"]), {"rows": 0, "sinks": {}})
-            entry["sinks"]["ignored"] = int(r["count"])
-            entry["rows"] += int(r["count"])
+        lineage = sink.write_classified(cdf)
         # buckets with zero rows still need committing
         for b in group:
             lineage.setdefault(b, {"rows": 0, "sinks": {}})

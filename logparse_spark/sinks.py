@@ -69,32 +69,39 @@ class SinkSet:
     def _run_dir(self) -> str:
         return os.path.join(self.out_dir, "runs", self.run_id)
 
-    def write_routed(self, df: DataFrame) -> dict[int, dict]:
-        """Write routed rows fanned out by (bucket, sink_id); returns
-        per-bucket lineage {bucket: {"rows": n, "sinks": {sink: n}}}.
+    def write_classified(self, df: DataFrame) -> dict[int, dict]:
+        """Single-pass fan-out write of ALL classified rows (ignored
+        rows included, under sink_id=ignored with a null payload — at
+        parquet level the constant columns dictionary-encode to almost
+        nothing, and keeping them makes lineage a pure metadata read).
 
-        One pass: the frame is already partitioned by (bucket, salt)
-        from the upstream repartition; ``partitionBy`` lays files out
-        per bucket/sink without another shuffle. Rows are sorted within
-        partitions by (conv_id, turn_idx) for deterministic routed-row
-        equality (BASELINE.json:15, SURVEY.md W1).
+        Returns per-bucket lineage {bucket: {"rows": n, "sinks": {s: n}}}.
+
+        One pass over the data: the upstream plan (scan -> parse ->
+        enrich -> repartition) executes exactly once, inside this write
+        action — no persist, no second parse. The sort key starts with
+        the dynamic-partition column so the file writer's required
+        ordering is pre-satisfied (single sequential open writer per
+        task); (conv_id, turn_idx) after it preserves routed-row
+        equality order within each sink. Lineage counts come from a
+        column-pruned read-back of the files just written — the scan
+        touches only the int `bucket` column + the sink_id dir value,
+        a few MB per GB of data.
         """
         cols = ["bucket", "sink_id", "conv_id", "turn_idx", "role", "ts",
-                "rule_id", "rule_name", "action", "count_key", "rendered"]
+                "rule_id", "rule_name", "action", "rendered"]
         keep = [c for c in cols if c in df.columns]
-        # Sort key starts with the dynamic-partition column so the file
-        # writer's required ordering is already satisfied (no extra sort,
-        # one sequential open writer per task); (conv_id, turn_idx) after
-        # it preserves the routed-row equality order within each sink.
         out = df.select(*keep).sortWithinPartitions("sink_id", "conv_id", "turn_idx")
         (
             out.write.mode("append")
             .partitionBy("sink_id")
             .parquet(self._run_dir())
         )
-        # lineage metrics: tiny hash-aggregate over the (persisted) frame —
-        # no re-read of the files just written
-        stats = df.groupBy("bucket", "sink_id").count().collect()
+        spark = df.sparkSession
+        stats = (
+            spark.read.parquet(self._run_dir())
+            .groupBy("bucket", "sink_id").count().collect()
+        )
         lineage: dict[int, dict] = {}
         for r in stats:
             b = int(r["bucket"])
@@ -125,8 +132,10 @@ class SinkSet:
     # -- read side -----------------------------------------------------
 
     def read_routed(self, spark: SparkSession) -> DataFrame:
-        """Read only committed (bucket, run) data — uncommitted runs are
-        invisible, like reading an Iceberg snapshot."""
+        """Read committed routed rows — uncommitted runs are invisible,
+        like reading an Iceberg snapshot. The ignored sink is excluded
+        by partition pruning; count_key is re-derived (== rendered for
+        count rules) so readers see the full MATCH_COLUMNS shape."""
         manifest = load_manifest(self.out_dir)
         if not manifest["buckets"]:
             raise FileNotFoundError(f"no committed buckets under {self.out_dir}")
@@ -142,6 +151,12 @@ class SinkSet:
         out = frames[0]
         for f_ in frames[1:]:
             out = out.unionByName(f_)
+        out = out.filter(F.col("sink_id") != "ignored")
+        if "count_key" not in out.columns and "action" in out.columns:
+            out = out.withColumn(
+                "count_key",
+                F.when(F.col("action") == "count", F.col("rendered")).cast("string"),
+            )
         return out
 
     def lineage_df(self, spark: SparkSession) -> DataFrame:

@@ -98,6 +98,49 @@ def run_stream(
     return q
 
 
+def conversation_progress(df_stream: DataFrame, compiled: CompiledRules) -> DataFrame:
+    """Custom stateful operator: per-conversation running progress.
+
+    ``applyInPandasWithState`` keeps (turns_seen, max_turn, routed)
+    per conv_id across micro-batches and emits the updated row each
+    time a conversation receives turns — the pattern for any
+    accumulator LogParse would keep in a Perl %hash, made incremental
+    and fault-tolerant by the state store. Arrow-batched; the update
+    function is a self-contained closure (no package imports on
+    workers)."""
+    import pandas as pd  # local: the closure must not capture this module
+
+    cdf = stages.parse_match(df_stream, compiled, engine="sql").select(
+        "conv_id", "turn_idx", "action"
+    )
+
+    def update(key, pdfs, state):
+        turns, max_turn, routed = state.get if state.exists else (0, -1, 0)
+        for pdf in pdfs:
+            turns += len(pdf)
+            max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+            routed += int((pdf["action"] != "ignore").sum())
+        state.update((turns, max_turn, routed))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "turns_seen": [turns],
+                "max_turn": [max_turn],
+                "routed": [routed],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return cdf.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType="conv_id string, turns_seen long, max_turn int, routed long",
+        stateStructType="turns_seen long, max_turn int, routed long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_sink_counts(
     df_stream: DataFrame,
     compiled: CompiledRules,

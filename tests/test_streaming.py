@@ -79,3 +79,47 @@ def test_windowed_counts_stateful(spark, stream_src, tmp_path):
         for r in stages.sink_counts(stages.routed(batch)).collect()
     }
     assert got == want
+
+
+def test_conversation_progress_stateful(spark, stream_src, tmp_path):
+    """applyInPandasWithState: final per-conv state equals batch truth."""
+    from logparse_spark import streaming as st
+
+    compiled = load_rules(RULES)
+    sdf = st.stream_transcripts(spark, stream_src, max_files_per_trigger=1)
+    prog = st.conversation_progress(sdf, compiled)
+    q = (
+        prog.writeStream.outputMode("update")
+        .format("memory").queryName("conv_prog")
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per conv per batch; last emission wins
+    got = spark.sql(
+        """
+        SELECT conv_id, turns_seen, max_turn, routed FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY conv_id ORDER BY turns_seen DESC) rn
+          FROM conv_prog
+        ) WHERE rn = 1
+        """
+    ).toPandas().set_index("conv_id")
+
+    batch = stages.parse_match(
+        spark.read.parquet(stream_src), load_rules(RULES), engine="sql"
+    )
+    want = (
+        batch.groupBy("conv_id").agg(
+            F.count("*").alias("turns_seen"),
+            F.max("turn_idx").alias("max_turn"),
+            F.sum(F.when(F.col("action") != "ignore", 1).otherwise(0)).alias("routed"),
+        )
+        .toPandas().set_index("conv_id")
+    )
+    assert len(got) == len(want)
+    joined = got.join(want, lsuffix="_s", rsuffix="_b")
+    assert (joined["turns_seen_s"] == joined["turns_seen_b"]).all()
+    assert (joined["max_turn_s"] == joined["max_turn_b"]).all()
+    assert (joined["routed_s"] == joined["routed_b"]).all()
