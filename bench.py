@@ -190,11 +190,20 @@ def _scaling_one(cores: int, sf: str, runs: int = 3) -> dict:
 
 def run_scaling(sf: str = SCALE_SF) -> dict:
     """local[8] vs local[32] on identical input; efficiency = (r32/r8)/4."""
-    # separate subprocesses so each JVM sizes its thread pools cleanly
+    # separate subprocesses so each JVM sizes its thread pools cleanly.
+    # taskset pins the WHOLE process tree (JVM task threads + shuffle/IO/GC
+    # threads + Python UDF workers) to exactly `cores` physical cores —
+    # without it the local[8] run borrows the other 24 idle cores for its
+    # python workers and codec threads, inflating the N-core baseline and
+    # making the measured efficiency meaningless as a cluster proxy (an
+    # 8-core executor is cgroup-confined; this is the sandbox equivalent).
     results = {}
     for cores in (8, 32):
+        cmd = [sys.executable, __file__, "--scaling-worker", str(cores), sf]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, __file__, "--scaling-worker", str(cores), sf],
+            cmd,
             capture_output=True, text=True, check=True,
         )
         line = out.stdout.strip().splitlines()[-1]
@@ -222,7 +231,10 @@ def _write_baseline_md(s: dict) -> None:
 Protocol (SURVEY.md §6, BASELINE.md): north rule requires throughput
 scaling efficiency >=0.8 from N to 4N executors; no real cluster exists
 in this sandbox, so the same job runs at two parallelism levels —
-`local[8]` vs `local[32]` — on the SAME sf{s['sf']} input
+`local[8]` vs `local[32]`, each pinned with `taskset -c` to exactly
+that many physical cores (the sandbox equivalent of an executor
+cgroup: JVM threads AND Python UDF workers confined) — on the SAME
+sf{s['sf']} input
 ({s['n_turns']:,} turns), >=3 timed runs each, median reported,
 SparkSession startup excluded.
 

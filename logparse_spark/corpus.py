@@ -239,6 +239,76 @@ def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: position-weighted rolling hash over tokens.
+
+    contribution_i = (i+1) * (131*len(w) + 31*ascii(first) + ascii(last));
+    fp = sum(contribution) mod 2^31-1. Pure int64 arithmetic, computed
+    with array transform+aggregate entirely JVM-side (codegen) — the
+    100 TB shape of content-defined chunking / shift-resistant dedup
+    keys. No shuffle at all: one narrow map stage."""
+    df = _with_words(_docs(spark, sf_dir))
+    contrib = F.transform(
+        F.col("ws"),
+        lambda w, i: (i + F.lit(1)).cast("long")
+        * (
+            F.length(w).cast("long") * 131
+            + F.ascii(F.substring(w, 1, 1)).cast("long") * 31
+            + F.ascii(F.substring(w, -1, 1)).cast("long")
+        ),
+    )
+    fp = F.aggregate(contrib, F.lit(0).cast("long"), lambda a, x: a + x)
+    return df.select(
+        "doc_id", (fp % F.lit(2147483647)).cast("long").alias("fp")
+    )
+
+
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts: alpha runs / digit runs / symbol
+    runs per doc (the GPT-2-style split classes, minus escape-dialect
+    hazards: every char class is literal in both engines)."""
+    df = _docs(spark, sf_dir)
+    n_alpha = F.expr("size(regexp_extract_all(lower(text), '[a-z]+', 0))")
+    n_num = F.expr("size(regexp_extract_all(text, '[0-9]+', 0))")
+    n_other = F.expr("size(regexp_extract_all(lower(text), '[^a-z0-9 ]+', 0))")
+    return df.select(
+        "doc_id",
+        n_alpha.cast("long").alias("n_alpha"),
+        n_num.cast("long").alias("n_num"),
+        n_other.cast("long").alias("n_other"),
+        (n_alpha + n_num + n_other).cast("long").alias("n_bpe"),
+    )
+
+
+_TRIGRAMS = ["the", "ing", "and", "ent"]
+
+
+def q_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via character n-grams: English trigram hit density.
+
+    hits(g) = (len(text) - len(replace(text, g))) / 3 — substring
+    counting by length delta, exact integers, replace() portable to
+    every engine. Complements the stopword heuristic (q_lang_stopword)
+    with the classic char-n-gram profile method."""
+    df = _docs(spark, sf_dir).withColumn("lt", F.lower("text"))
+    hit_terms = [
+        (F.length("lt") - F.length(F.expr(f"replace(lt, '{g}', '')"))) / 3
+        for g in _TRIGRAMS
+    ]
+    n_hits = hit_terms[0]
+    for t in hit_terms[1:]:
+        n_hits = n_hits + t
+    return df.select(
+        "doc_id",
+        "lang",
+        n_hits.cast("long").alias("n_tri_hits"),
+        F.length("text").cast("long").alias("text_len"),
+        F.when(n_hits.cast("long") * 50 >= F.length("text"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("guess_en"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (embeddings)
 # ---------------------------------------------------------------------------
@@ -534,6 +604,37 @@ def corpus_oracles() -> dict[str, str]:
               SELECT unnest(ws) AS word FROM ({words_cte})
             ) GROUP BY word
         """,
+        "fingerprint": f"""
+            SELECT doc_id,
+                   CAST(COALESCE(list_sum(list_transform(
+                          range(1, len(ws) + 1),
+                          i -> i * (131 * length(ws[i])
+                                    + 31 * ascii(ws[i][1])
+                                    + ascii(ws[i][-1])))), 0)
+                        % 2147483647 AS BIGINT) AS fp
+            FROM ({words_cte})
+        """,
+        "token_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha,
+                   len(regexp_extract_all(text, '[0-9]+')) AS n_num,
+                   len(regexp_extract_all(lower(text), '[^a-z0-9 ]+')) AS n_other,
+                   len(regexp_extract_all(lower(text), '[a-z]+'))
+                   + len(regexp_extract_all(text, '[0-9]+'))
+                   + len(regexp_extract_all(lower(text), '[^a-z0-9 ]+')) AS n_bpe
+            FROM documents
+        """,
+        "lang_ngram": f"""
+            WITH x AS (
+              SELECT doc_id, lang, text, lower(text) AS lt FROM documents
+            )
+            SELECT doc_id, lang,
+                   CAST({" + ".join(f"(length(lt) - length(replace(lt, '{g}', ''))) / 3" for g in _TRIGRAMS)} AS BIGINT) AS n_tri_hits,
+                   length(text) AS text_len,
+                   CASE WHEN CAST({" + ".join(f"(length(lt) - length(replace(lt, '{g}', ''))) / 3" for g in _TRIGRAMS)} AS BIGINT) * 50
+                             >= length(text) THEN 1 ELSE 0 END AS guess_en
+            FROM x
+        """,
         "ann_cosine": f"""
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             scored AS (
@@ -601,6 +702,9 @@ CORPUS_QUERIES = {
     "doc_quality": q_doc_quality,
     "lang_stopword": q_lang_stopword,
     "token_freq": q_token_freq,
+    "fingerprint": q_fingerprint,
+    "token_bpe": q_token_bpe,
+    "lang_ngram": q_lang_ngram,
     "ann_cosine": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
     "multimodal_features": q_multimodal_features,

@@ -32,6 +32,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # v1 committer does job-commit renames serially on the driver —
+        # a fixed serial cost (Amdahl) that grows with sink fan-out file
+        # count; v2 renames at task commit, in parallel on executors
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.parquet.summary.metadata.level", "NONE")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
