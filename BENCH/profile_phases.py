@@ -21,8 +21,10 @@ def main() -> None:
     cores, sf = int(sys.argv[1]), sys.argv[2]
     from logparse_spark.session import get_spark
 
+    mem = os.environ.get("SPARK_DRIVER_MEM", f"{max(8, int(cores * 1.75))}g")
     spark = get_spark(app_name=f"profile[{cores}]", master=f"local[{cores}]",
-                      shuffle_partitions=max(cores, 8))
+                      shuffle_partitions=max(cores, 8),
+                      extra_conf={"spark.driver.memory": mem})
     from logparse_spark import pipeline, stages
     from logparse_spark.fixtures import ensure_fixture
     from logparse_spark.rules import load_rules
@@ -31,6 +33,7 @@ def main() -> None:
     d = ensure_fixture(sf)
     compiled = load_rules("/root/repo/rules/bench.rules")
     src = os.path.join(d, "transcripts.parquet")
+    stages.tune_scan_splits(spark, src)
     role_dict = spark.read.parquet(os.path.join(d, "role_dict.parquet"))
     tool_dict = spark.read.parquet(os.path.join(d, "tool_dict.parquet"))
     df = stages.read_transcripts(spark, src)
@@ -44,7 +47,7 @@ def main() -> None:
         t["hot_detect"] = time.monotonic() - t0
 
         cdf = pipeline.classify(df, compiled, role_dict, tool_dict,
-                                buckets=64, salt_buckets=8, hot_convs=hot)
+                                buckets=256, salt_buckets=8, hot_convs=hot)
         out_dir = tempfile.mkdtemp(prefix=f"prof_{cores}_")
         try:
             sink = SinkSet(out_dir=out_dir)
@@ -89,7 +92,7 @@ def main() -> None:
         hot = stages.detect_hot_convs(df, threshold=max(100, n // 1000),
                                       sample_fraction=0.02)
         cdf = pipeline.classify(df, compiled, role_dict, tool_dict,
-                                buckets=64, salt_buckets=8, hot_convs=hot)
+                                buckets=256, salt_buckets=8, hot_convs=hot)
         t0 = time.monotonic()
         cdf.write.format("noop").mode("overwrite").save()
         return time.monotonic() - t0

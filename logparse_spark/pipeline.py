@@ -74,6 +74,7 @@ def run(
     fail_after_groups: int | None = None,  # test hook: simulate a crash
 ) -> RunResult:
     compiled = load_rules(rules_path)
+    stages.tune_scan_splits(spark, source_path)
     df = stages.read_transcripts(spark, source_path)
 
     role_dict = tool_dict = None

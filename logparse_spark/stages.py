@@ -24,6 +24,31 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     return df.select(*[c for c in INPUT_COLUMNS if c in df.columns])
 
 
+def tune_scan_splits(spark: SparkSession, path: str, waves: int = 8,
+                     min_bytes: int = 1 << 20, max_bytes: int = 128 << 20) -> int:
+    """Size ``spark.sql.files.maxPartitionBytes`` to the input.
+
+    Strong-scaling trap this avoids: a fixed split size gives a fixed
+    task count, so at 4N cores the scan+parse stage can degenerate to
+    ~1.5 waves — half the cores idle in the last wave. Targeting
+    ``waves`` waves per core keeps the task tail short at every
+    parallelism. On a real cluster Iceberg's split planning plays this
+    role; file listing here is driver-side and O(files)."""
+    import os
+
+    total = 0
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files if f.endswith(".parquet"))
+    elif os.path.exists(path):
+        total = os.path.getsize(path)
+    cores = spark.sparkContext.defaultParallelism
+    target = max(min_bytes, min(max_bytes, total // max(1, cores * waves)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    return target
+
+
 def read_transcripts_union(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Multi-source union (S2): schema-aligned unionByName."""
     dfs = [read_transcripts(spark, p) for p in paths]
@@ -62,11 +87,24 @@ def bucket_and_salt(
     buckets: int = 64,
     salt_buckets: int = 8,
     hot_convs: list[str] | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Explicit partitioning (X1): bucket = hash(conv_id) mod B; hot
     conversations additionally salt by turn_idx so one giant
     conversation spreads over ``salt_buckets`` tasks instead of
-    stalling a single one. The ONE full shuffle of the job."""
+    stalling a single one. The ONE full shuffle of the job.
+
+    Partition-granularity note: the shuffle can never be finer than the
+    distinct (bucket, salt) keys, so ``num_partitions`` > that count
+    buys nothing — pick ``buckets`` itself so each downstream write
+    task sorts ~rows/buckets rows in memory. Sizing rule: the per-task
+    sort must fit the execution-memory share (heap*0.6/concurrent
+    tasks) or it spills — the classic silent 2-3x write slowdown that
+    appears only at high parallelism (more concurrent tasks = smaller
+    share). 60M-row sf10 at 64 buckets = ~1M-row sorts -> spill at
+    32 tasks on a 16g heap; 256 buckets = ~235k rows -> in-memory."""
+    if num_partitions is None:
+        num_partitions = buckets
     out = df.withColumn("bucket", F.pmod(F.xxhash64("conv_id"), F.lit(buckets)).cast("int"))
     if hot_convs:
         out = out.withColumn(
@@ -78,7 +116,7 @@ def bucket_and_salt(
         )
     else:
         out = out.withColumn("salt", F.lit(0))
-    return out.repartition(buckets, F.col("bucket"), F.col("salt"))
+    return out.repartition(num_partitions, F.col("bucket"), F.col("salt"))
 
 
 def parse_match(df: DataFrame, compiled: CompiledRules, engine: str = "udf") -> DataFrame:
