@@ -115,12 +115,14 @@ def run_pipeline_e2e(spark, sf: str, out_dir: str) -> tuple[float, int]:
     hot = stages.detect_hot_convs(
         df, threshold=max(100, n_turns // 1000), sample_fraction=0.02
     )
-    # 256 buckets (vs 64): per-task write sorts must fit the task's
-    # execution-memory share at the HIGHEST parallelism level, or they
-    # spill and the write stops scaling (measured: 90s of a 128s sf10
-    # run was sort-spill at 64 buckets / 32 cores)
+    # bucket count sized to the table, like Iceberg bucket partitioning:
+    # ~250k rows per bucket keeps each write task's sort inside its
+    # execution-memory share at the highest parallelism level (at 64
+    # buckets / 32 cores on sf10 the sorts spilled, adding 90s to a
+    # 128s run), while small inputs avoid a blizzard of tiny files
+    buckets = min(1024, max(16, 1 << (n_turns // 250_000).bit_length()))
     cdf = pipeline.classify(df, compiled, role_dict, tool_dict,
-                            buckets=256, salt_buckets=8, hot_convs=hot)
+                            buckets=buckets, salt_buckets=8, hot_convs=hot)
     from logparse_spark.sinks import SinkSet
 
     sink = SinkSet(out_dir=out_dir)
