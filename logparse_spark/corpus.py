@@ -198,6 +198,58 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bit_sums.select("doc_id", fp.cast("long").alias("simhash"))
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUPS from the MinHash candidate pairs: connected
+    components by iterative min-label propagation.
+
+    The step real dedup pipelines need after candidate generation —
+    pairs alone over-remove (A~B, B~C but A!~C must still resolve to
+    one keeper per component). Pure DataFrame iteration: each round
+    every node takes min(own label, neighbours' labels); converges in
+    O(component diameter) rounds. ``localCheckpoint`` truncates the
+    growing lineage each round (the standard Spark iterative-algorithm
+    pattern — without it the plan doubles every iteration). At 100 TB
+    this is the large-star/small-star CC algorithm with the same
+    DataFrame ops; shuffle per round is |edges|, and candidate
+    components from near-dup detection are tiny-diameter, so rounds
+    stay in single digits."""
+    pairs = q_minhash_lsh(spark, sf_dir)
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("group_root", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        prop = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src").agg(F.min("group_root").alias("nbr_root"))
+        )
+        new = (
+            labels.join(prop, labels.doc_id == prop.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("group_root"),
+                    F.coalesce("nbr_root", F.col("group_root")),
+                ).alias("group_root"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n").join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.group_root") != F.col("o.group_root"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -551,6 +603,29 @@ def corpus_oracles() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
         """,
+        "dedup_groups": f"""
+            WITH RECURSIVE sh AS ({sh_cte}),
+            sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+            bands AS ({band_selects}),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+            ),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ),
+            reach AS (
+              SELECT src AS doc, src AS lab FROM edges
+              UNION
+              SELECT e.src AS doc, r.lab
+              FROM edges e JOIN reach r ON e.dst = r.doc
+            )
+            SELECT doc AS doc_id, min(lab) AS group_root
+            FROM reach GROUP BY doc
+        """,
         "jaccard_pairs": f"""
             WITH sh AS ({sh_cte}),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -697,6 +772,7 @@ CORPUS_QUERIES = {
     "dedup_embed": q_dedup_embed,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
+    "dedup_groups": q_dedup_groups,
     "jaccard_pairs": q_jaccard_pairs,
     "simhash": q_simhash,
     "doc_quality": q_doc_quality,
