@@ -155,6 +155,29 @@ def test_salted_equals_unsalted(spark, fixture_sf_small, tmp_path_factory):
     pd.testing.assert_frame_equal(outs[0], outs[1])
 
 
+def test_salting_balances_partitions(spark, fixture_sf_small):
+    """X1 evidence: salting measurably caps the largest shuffle group.
+
+    The fixture is skewed by construction (1% of conversations own
+    ~50% of turns, FIXTURES.md); without salting the hottest
+    (bucket, salt) group carries an entire hot conversation and that
+    task straggles. With hot conversations salted across 4 sub-keys
+    the max group must shrink by at least 2x."""
+    df = stages.read_transcripts(spark, f"{fixture_sf_small}/transcripts.parquet")
+    hot = stages.detect_hot_convs(df, threshold=200)
+    assert hot, "fixture lost its skew — regenerate"
+
+    def max_group(hot_convs):
+        return (
+            stages.bucket_and_salt(df, buckets=8, salt_buckets=4, hot_convs=hot_convs)
+            .groupBy("bucket", "salt").count()
+            .agg(F.max("count")).collect()[0][0]
+        )
+
+    unsalted, salted = max_group(None), max_group(hot)
+    assert salted * 2 <= unsalted, (salted, unsalted)
+
+
 def test_sql_engine_matches_udf_engine(spark, fixture_sf_small):
     """The pure-SQL dispatch alternative agrees with the Arrow UDF."""
     df = stages.read_transcripts(spark, f"{fixture_sf_small}/transcripts.parquet")
