@@ -365,6 +365,22 @@ def q_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search (embeddings)
 # ---------------------------------------------------------------------------
 
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Global top-k WITHOUT a global single-partition window.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — every
+    partition keeps its local top-k, the driver merges k*n_partitions
+    rows — then the rank window runs over only those k rows (a
+    single-partition window over k rows is free; over the whole table
+    it is the classic scale killer Spark itself warns about)."""
+    top = scored.orderBy(F.desc("sim_r"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("sim_r"), F.asc("vec_id"))
+    return (
+        top.withColumn("rk", F.row_number().over(w).cast("long"))
+        .select("rk", "vec_id", "sim_r")
+    )
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 around vec_id=0 (the ANN baseline).
 
@@ -380,12 +396,7 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     nq = _dot64("qe", "qe", "spark")
     sim = f"({dot} / (sqrt({na}) * sqrt({nq})))"
     scored = joined.select("vec_id", F.round(F.expr(sim), 6).alias("sim_r"))
-    w = Window.orderBy(F.desc("sim_r"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 10)
-        .select("rk", "vec_id", "sim_r")
-    )
+    return _ranked_topk(scored, 10)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,12 +418,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     nq = _dot64("qe", "qe", "spark")
     sim = f"({dot} / (sqrt({na}) * sqrt({nq})))"
     scored = cand.select("vec_id", F.round(F.expr(sim), 6).alias("sim_r"))
-    w = Window.orderBy(F.desc("sim_r"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 5)
-        .select("rk", "vec_id", "sim_r")
-    )
+    return _ranked_topk(scored, 5)
 
 
 def _hyperplane(j: int) -> list[float]:
