@@ -1,0 +1,82 @@
+"""Write BENCH/PLANS.md: formatted physical plans of the load-bearing
+queries, with the plan properties each one must keep (one exchange,
+one Arrow stage, broadcast-only joins, distributed top-k...).
+
+Run: python BENCH/dump_plans.py   (regenerates the file)
+The same properties are asserted by tests/test_plans.py; this artifact
+just makes them reviewable without running Spark.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def fmt_plan(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def main() -> None:
+    from logparse_spark import corpus, pipeline, stages
+    from logparse_spark.fixtures import ensure_fixture
+    from logparse_spark.rules import load_rules
+    from logparse_spark.session import get_spark
+
+    spark = get_spark(app_name="plans", master="local[4]", shuffle_partitions=8,
+                      extra_conf={"spark.driver.memory": "4g"})
+    d = ensure_fixture("0.01")
+    sf = "/root/testdata/sf0.01"
+    compiled = load_rules("/root/repo/rules/default.rules")
+    df = stages.read_transcripts(spark, os.path.join(d, "transcripts.parquet"))
+    role = spark.read.parquet(os.path.join(d, "role_dict.parquet"))
+    tool = spark.read.parquet(os.path.join(d, "tool_dict.parquet"))
+
+    sections = []
+
+    cdf = pipeline.classify(df, compiled, role, tool, buckets=16, salt_buckets=4)
+    sections.append((
+        "Full pipeline logical plan (classify: scan -> ArrowUDF parse -> "
+        "broadcast enrich -> bucket+salt repartition)",
+        "Must hold: exactly ONE Exchange hashpartitioning (the explicit "
+        "bucket shuffle, carrying parsed columns only — text/tool dropped "
+        "before it); exactly ONE ArrowEvalPython; joins are "
+        "BroadcastHashJoin only; scan reads just the 6 input columns.",
+        fmt_plan(cdf),
+    ))
+
+    sql_df = stages.parse_match(df, compiled, engine="sql")
+    sections.append((
+        "Pure-JVM dispatch alternative (engine='sql')",
+        "Must hold: no Python nodes at all; the chained CASE/rlike "
+        "dispatch stays inside WholeStageCodegen.",
+        fmt_plan(sql_df),
+    ))
+
+    ann = corpus.CORPUS_QUERIES["ann_cosine"](spark, sf)
+    sections.append((
+        "Brute-force cosine ANN top-k",
+        "Must hold: TakeOrderedAndProject (per-partition partial top-k + "
+        "driver merge), never a row_number window over the full table.",
+        fmt_plan(ann),
+    ))
+
+    md = ["# BENCH/PLANS — physical plans of the load-bearing queries",
+          "",
+          "Regenerate with `python BENCH/dump_plans.py`. Plan-shape",
+          "assertions live in tests/test_plans.py; this file is the",
+          "human-reviewable snapshot.", ""]
+    for title, props, plan in sections:
+        md += [f"## {title}", "", props, "", "```", plan.rstrip(), "```", ""]
+    with open("/root/repo/BENCH/PLANS.md", "w", encoding="utf-8") as f:
+        f.write("\n".join(md))
+    print("wrote BENCH/PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
