@@ -332,6 +332,23 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length percentiles (corpus length-filter
+    calibration). Exact ``percentile`` matches DuckDB's quantile_cont
+    bit-for-bit (both linear interpolation); at 100 TB swap for
+    ``approx_percentile(col, p, accuracy)`` — same plan shape, bounded
+    memory, no per-group sort."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.95)"), 4).alias("p95"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 _TRIGRAMS = ["the", "ing", "and", "ent"]
 
 
@@ -705,6 +722,12 @@ def corpus_oracles() -> dict[str, str]:
                    + len(regexp_extract_all(lower(text), '[^a-z0-9 ]+')) AS n_bpe
             FROM documents
         """,
+        "len_quantiles": """
+            SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.95), 4) AS p95,
+                   count(*) AS n
+            FROM documents GROUP BY lang
+        """,
         "lang_ngram": f"""
             WITH x AS (
               SELECT doc_id, lang, text, lower(text) AS lt FROM documents
@@ -787,6 +810,7 @@ CORPUS_QUERIES = {
     "fingerprint": q_fingerprint,
     "token_bpe": q_token_bpe,
     "lang_ngram": q_lang_ngram,
+    "len_quantiles": q_len_quantiles,
     "ann_cosine": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
     "multimodal_features": q_multimodal_features,
