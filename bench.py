@@ -91,8 +91,10 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_pipeline_e2e(spark, sf: str, out_dir: str) -> tuple[float, int]:
-    """The north-star job: scan -> bucket/salt -> ArrowUDF parse ->
+def run_pipeline_e2e(spark, sf: str, out_dir: str,
+                     engine: str = "udf") -> tuple[float, int]:
+    """The north-star job: scan -> bucket/salt -> parse (Arrow UDF by
+    default; engine='sql' is the pure-codegen CASE/rlike alternative) ->
     broadcast enrich -> fan-out routed write -> per-sink counts.
     Returns (seconds, turns)."""
     from pyspark.sql import functions as F
@@ -122,7 +124,8 @@ def run_pipeline_e2e(spark, sf: str, out_dir: str) -> tuple[float, int]:
     # 128s run), while small inputs avoid a blizzard of tiny files
     buckets = min(1024, max(16, 1 << (n_turns // 250_000).bit_length()))
     cdf = pipeline.classify(df, compiled, role_dict, tool_dict,
-                            buckets=buckets, salt_buckets=8, hot_convs=hot)
+                            buckets=buckets, salt_buckets=8, hot_convs=hot,
+                            engine=engine)
     from logparse_spark.sinks import SinkSet
 
     sink = SinkSet(out_dir=out_dir)
@@ -156,6 +159,17 @@ def run_suite(cores: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
         timings["pipeline_e2e"] = round(sec, 3)
+
+        # the alternate physical strategy: same job, pure-JVM codegen
+        # dispatch (no Python at all) — reported so the Arrow-UDF cost
+        # is quantified, not guessed
+        out_dir = tempfile.mkdtemp(prefix="bench_sinks_sql_")
+        try:
+            sec_sql, _ = run_pipeline_e2e(spark, sf_from_dir(sf_dir), out_dir,
+                                          engine="sql")
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        timings["pipeline_e2e_sqlengine"] = round(sec_sql, 3)
 
         # steady-state protocol (SURVEY.md §6): first execution pays
         # one-time codegen/python-worker costs; report the warm run
