@@ -36,6 +36,10 @@ def main() -> None:
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--hot-threshold", type=int, default=None)
     p.add_argument("--engine", choices=["udf", "sql"], default="udf")
+    p.add_argument("--format", choices=["parquet", "iceberg"], default="parquet",
+                   help="sink format; iceberg needs the runtime jar + --table")
+    p.add_argument("--table", default=None,
+                   help="iceberg table identifier (cat.db.name)")
     p.add_argument("--report", default=None, help="write the LogParse-style text report here")
     args = p.parse_args()
 
@@ -59,6 +63,8 @@ def main() -> None:
         resume=not args.no_resume,
         hot_threshold=args.hot_threshold,
         engine=args.engine,
+        sink_format=args.format,
+        sink_table=args.table,
     )
     if args.report:
         report = pipeline.render_report(spark, args.out, load_rules(args.rules))

@@ -71,6 +71,8 @@ def run(
     resume: bool = True,
     hot_threshold: int | None = None,
     engine: str = "udf",
+    sink_format: str = "parquet",
+    sink_table: str | None = None,  # iceberg table id when sink_format=iceberg
     fail_after_groups: int | None = None,  # test hook: simulate a crash
 ) -> RunResult:
     compiled = load_rules(rules_path)
@@ -108,7 +110,7 @@ def run(
         # single pass: ONE action writes every classified row (ignored
         # included) and lineage comes from a metadata-cheap read-back —
         # no persist, the parse UDF runs exactly once per group
-        sink = SinkSet(out_dir=out_dir)
+        sink = SinkSet(out_dir=out_dir, fmt=sink_format, table=sink_table)
         lineage = sink.write_classified(cdf)
         # buckets with zero rows still need committing
         for b in group:
