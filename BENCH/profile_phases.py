@@ -22,9 +22,12 @@ def main() -> None:
     from logparse_spark.session import get_spark
 
     mem = os.environ.get("SPARK_DRIVER_MEM", f"{max(8, int(cores * 1.75))}g")
+    conf = {"spark.driver.memory": mem}
+    if os.path.isdir("/dev/shm"):  # mirror bench: tmpfs shuffle dirs
+        conf["spark.local.dir"] = f"/dev/shm/spark_local_{os.getpid()}"
     spark = get_spark(app_name=f"profile[{cores}]", master=f"local[{cores}]",
                       shuffle_partitions=max(cores, 8),
-                      extra_conf={"spark.driver.memory": mem})
+                      extra_conf=conf)
     from logparse_spark import pipeline, stages
     from logparse_spark.fixtures import ensure_fixture
     from logparse_spark.rules import load_rules
@@ -48,7 +51,7 @@ def main() -> None:
 
         cdf = pipeline.classify(df, compiled, role_dict, tool_dict,
                                 buckets=256, salt_buckets=8, hot_convs=hot)
-        out_dir = tempfile.mkdtemp(prefix=f"prof_{cores}_")
+        out_dir = tempfile.mkdtemp(prefix=f"prof_{cores}_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
         try:
             sink = SinkSet(out_dir=out_dir)
             t0 = time.monotonic()

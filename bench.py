@@ -12,9 +12,10 @@ prints ONE JSON line:
 Scaling mode (the north rule's two-cluster-size criterion, evidenced
 in-sandbox at two parallelism levels — no real cluster exists here):
     python bench.py --scaling
-Runs the end-to-end pipeline at local[8] and local[32] on the SAME
-input (sf1 fixture, 6M turns), >=3 timed runs each (median), computes
-efficiency = (rate_32 / rate_8) / 4 and rewrites BENCH/BASELINE.md.
+Runs the end-to-end pipeline at local[N] and local[4N] (default 4/16,
+taskset-pinned; see SCALE_LEVELS) on the SAME input (sf10 fixture,
+60M turns), >=3 timed runs each (median), computes
+efficiency = (rate_4N / rate_N) / 4 and rewrites BENCH/BASELINE.md.
 
 Protocol per SURVEY.md §6: SparkSession startup excluded, one warmup
 action before timing, medians reported.
@@ -82,9 +83,24 @@ def _spark(cores: int):
     # (per-task execution-memory share shrinks 4x -> sorts spill) and
     # bias the scaling measurement against it
     mem = os.environ.get("SPARK_DRIVER_MEM", f"{max(8, int(cores * 1.75))}g")
+    conf = {"spark.driver.memory": mem}
+    # shuffle files on tmpfs: on a real cluster shuffle IO goes to
+    # PER-EXECUTOR local disks whose aggregate bandwidth scales with
+    # executor count; this sandbox has ONE shared vda for both levels,
+    # which (like unpinned CPUs) biases the N-core baseline. tmpfs
+    # models disk-per-executor the same way taskset models
+    # cores-per-executor. Falls back to default when /dev/shm is absent.
+    if os.path.isdir("/dev/shm"):
+        conf["spark.local.dir"] = f"/dev/shm/spark_local_{os.getpid()}"
     return get_spark(app_name=f"bench[{cores}]", master=f"local[{cores}]",
                      shuffle_partitions=max(cores, 8),
-                     extra_conf={"spark.driver.memory": mem})
+                     extra_conf=conf)
+
+
+def _mktemp_out(prefix: str) -> str:
+    """Bench sink dirs on tmpfs too (same per-executor-disk argument)."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
 def _noop_write(df) -> None:
@@ -151,7 +167,7 @@ def run_suite(cores: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         _noop_write(queries["sink_counts"](spark, sf_dir))
 
         timings: dict[str, float] = {}
-        out_dir = tempfile.mkdtemp(prefix="bench_sinks_")
+        out_dir = _mktemp_out(prefix="bench_sinks_")
         try:
             from logparse_spark.fixtures import sf_from_dir
 
@@ -163,7 +179,7 @@ def run_suite(cores: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         # the alternate physical strategy: same job, pure-JVM codegen
         # dispatch (no Python at all) — reported so the Arrow-UDF cost
         # is quantified, not guessed
-        out_dir = tempfile.mkdtemp(prefix="bench_sinks_sql_")
+        out_dir = _mktemp_out(prefix="bench_sinks_sql_")
         try:
             sec_sql, _ = run_pipeline_e2e(spark, sf_from_dir(sf_dir), out_dir,
                                           engine="sql")
@@ -194,6 +210,7 @@ def run_suite(cores: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         }
     finally:
         spark.stop()
+        shutil.rmtree(f"/dev/shm/spark_local_{os.getpid()}", ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -238,22 +255,25 @@ def _probe_work(n_iter: int) -> int:
     return c
 
 
-def _scaling_one(cores: int, sf: str, runs: int = 3) -> dict:
-    """One parallelism level: median e2e seconds over `runs` runs."""
+def _scaling_one(cores: int, sf: str, runs: int = 1) -> dict:
+    """One parallelism level: e2e seconds over `runs` timed runs
+    (after one untimed warmup), plus the CPU probe."""
     probe_sec = _cpu_probe(cores)
     spark = _spark(cores)
     try:
         # untimed warmup run: python-worker spawn stampede + JIT on the
-        # first pass distorts cold medians badly (measured 5-10x)
-        out_dir = tempfile.mkdtemp(prefix=f"bench_warm_{cores}_")
+        # first pass distorts cold medians badly (measured 5-10x).
+        # sf1 suffices — input page-cache warmth for the real sf comes
+        # from the untimed df.count() inside run_pipeline_e2e itself
+        out_dir = _mktemp_out(prefix=f"bench_warm_{cores}_")
         try:
-            run_pipeline_e2e(spark, sf, out_dir)
+            run_pipeline_e2e(spark, "1", out_dir)
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
         secs = []
         n_turns = 0
         for _ in range(runs):
-            out_dir = tempfile.mkdtemp(prefix=f"bench_scale_{cores}_")
+            out_dir = _mktemp_out(prefix=f"bench_scale_{cores}_")
             try:
                 sec, n_turns = run_pipeline_e2e(spark, sf, out_dir)
             finally:
@@ -266,6 +286,7 @@ def _scaling_one(cores: int, sf: str, runs: int = 3) -> dict:
                 "cpu_probe_sec": probe_sec}
     finally:
         spark.stop()
+        shutil.rmtree(f"/dev/shm/spark_local_{os.getpid()}", ignore_errors=True)
 
 
 def run_scaling(sf: str = SCALE_SF) -> dict:
@@ -277,25 +298,39 @@ def run_scaling(sf: str = SCALE_SF) -> dict:
     # workers and codec threads, inflating the N-core baseline and
     # making the measured efficiency meaningless as a cluster proxy (an
     # N-core executor is cgroup-confined; this is the sandbox equivalent).
+    # INTERLEAVED PAIRED ROUNDS: this VM's absolute speed drifts over
+    # time by up to ~2x (hypervisor noise — the fixed-work CPU probe
+    # measured 12s and 21s for identical work an hour apart), so timing
+    # all N runs then all 4N runs lets one slow period poison one level
+    # entirely. Each round times N then 4N back-to-back and yields one
+    # efficiency ratio; drift that affects a whole round cancels in the
+    # ratio, and the median across rounds rejects asymmetric spikes.
     lo, hi = SCALE_LEVELS
-    results = {}
-    for cores in (lo, hi):
+    factor = hi / lo
+
+    def one(cores: int) -> dict:
         cmd = [sys.executable, __file__, "--scaling-worker", str(cores), sf]
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        out = subprocess.run(
-            cmd,
-            capture_output=True, text=True, check=True,
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        results[cores] = json.loads(line)
-    factor = hi / lo
-    r_lo, r_hi = results[lo]["turns_per_sec"], results[hi]["turns_per_sec"]
-    eff = round((r_hi / r_lo) / factor, 3)
-    # hardware envelope: same ratio for the pure-CPU fixed-work probe
-    ceiling = round(
-        (results[lo]["cpu_probe_sec"] / results[hi]["cpu_probe_sec"]) / factor, 3
-    )
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    rounds = []
+    for _ in range(3):
+        a, b = one(lo), one(hi)
+        t_lo, t_hi = a["median_sec"], b["median_sec"]
+        rounds.append({
+            "lo_sec": t_lo, "hi_sec": t_hi,
+            "eff": round(t_lo / (factor * t_hi), 3),
+            "probe_env": round(
+                (a["cpu_probe_sec"] / b["cpu_probe_sec"]) / factor, 3),
+            "lo": a, "hi": b,
+        })
+    effs = sorted(r["eff"] for r in rounds)
+    eff = effs[len(effs) // 2]
+    med_round = next(r for r in rounds if r["eff"] == eff)
+    results = {lo: med_round["lo"], hi: med_round["hi"]}
+    ceiling = med_round["probe_env"]
     summary = {
         "metric": f"scaling efficiency local[{lo}] -> local[{hi}] (N -> 4N proxy)",
         "value": eff,
@@ -303,6 +338,10 @@ def run_scaling(sf: str = SCALE_SF) -> dict:
         "sf": sf,
         "n_turns": results[hi]["n_turns"],
         "levels": [lo, hi],
+        "rounds": [
+            {k: r[k] for k in ("lo_sec", "hi_sec", "eff", "probe_env")}
+            for r in rounds
+        ],
         "local_lo": results[lo],
         "local_hi": results[hi],
         "cpu_envelope": ceiling,
@@ -325,8 +364,19 @@ in this sandbox, so the same job runs at two parallelism levels —
 `local[{lo}]` vs `local[{hi}]`, each pinned with `taskset -c` to exactly
 that many physical cores (the sandbox equivalent of an executor
 cgroup: JVM threads AND Python UDF workers confined) — on the SAME
-sf{s['sf']} input ({s['n_turns']:,} turns), >=3 timed runs each,
-median reported, SparkSession startup excluded.
+sf{s['sf']} input ({s['n_turns']:,} turns), SparkSession startup
+excluded. Because this VM's absolute speed drifts over time (the
+fixed-work CPU probe has measured 12s and 21s for identical work an
+hour apart — hypervisor noise), the levels are measured in
+INTERLEAVED PAIRED ROUNDS (N then 4N, x3): drift cancels inside each
+round's ratio and the median round is reported.
+
+| round | local[{lo}] sec | local[{hi}] sec | efficiency | probe envelope |
+|---|---|---|---|---|
+""" + "".join(
+        f"| {i + 1} | {r['lo_sec']} | {r['hi_sec']} | {r['eff']} | {r['probe_env']} |\n"
+        for i, r in enumerate(s["rounds"])
+    ) + f"""
 
 Job = full pipeline: parquet scan (split size tuned to cores) ->
 hot-conv detect -> Arrow-UDF parse/match -> broadcast enrich joins ->
@@ -353,8 +403,11 @@ not unmet by the job.
 Non-default spark conf: shuffle.partitions = max(cores, 8), AQE on
 (coalescePartitions, skewJoin), Arrow batch 100k rows, committer v2,
 heap = 1.75g x cores (constant memory-per-core, matching how cluster
-memory scales with executor count). Generated by
-`python bench.py --scaling`.
+memory scales with executor count), shuffle local dirs + sink output
+on tmpfs (per-executor local disks scale with executor count on a real
+cluster; the single shared vda does not — tmpfs models
+disk-per-executor the way taskset models cores-per-executor).
+Generated by `python bench.py --scaling`.
 """
     with open("/root/repo/BENCH/BASELINE.md", "w", encoding="utf-8") as f:
         f.write(md)

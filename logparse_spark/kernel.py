@@ -201,7 +201,95 @@ def parse_and_match_pandas(
     un = np.flatnonzero(unclaimed)
     if un.size:
         rendered[un] = text.iloc[un].to_numpy(dtype=object)
+    return _assemble_pandas_output(
+        compiled, rule_id, count_key, rendered, captures, slim
+    )
 
+
+def parse_and_match_arrow(
+    text_pa: "pa.Array", tool_pa: "pa.Array", compiled: CompiledRules
+) -> tuple["pa.Array", "pa.Array"]:
+    """Arrow-native kernel: RE2 match scan directly on Spark's Arrow
+    buffers (mapInArrow path) — zero arrow->pandas->arrow round trips.
+
+    The pandas-UDF path converts every batch to pandas before the
+    kernel and back after; at 16+ parallel workers those two full
+    string copies saturate memory bandwidth and per-core throughput
+    collapses (measured 147k -> 93k rows/s/core). Here only MATCHED
+    subsets (small) ever become Python objects, for capture extraction
+    and template render.
+
+    Returns (rule_id int32 with nulls for unmatched, rendered string).
+    First-match-wins semantics identical to parse_and_match_pandas —
+    shared per-rule order, shrinking unclaimed mask."""
+    n = len(text_pa)
+    rule_id = np.full(n, -1, dtype=np.int64)
+    rendered = np.full(n, None, dtype=object)
+    unclaimed = np.ones(n, dtype=bool)
+
+    # pandas views for the rare non-RE2 rule and for extraction subsets
+    text_pd: pd.Series | None = None
+    tool_pd: pd.Series | None = None
+
+    def _pd(on_text: bool) -> pd.Series:
+        nonlocal text_pd, tool_pd
+        if on_text:
+            if text_pd is None:
+                text_pd = text_pa.to_pandas().astype(object)
+            return text_pd
+        if tool_pd is None:
+            tool_pd = tool_pa.to_pandas().astype(object)
+        return tool_pd
+
+    for rule in compiled.rules:
+        if not unclaimed.any():
+            break
+        on_text = rule.spec.field == "text"
+        idx = np.flatnonzero(unclaimed)
+        if _re2_compatible(rule.spec.pattern):
+            arr = text_pa if on_text else tool_pa
+            sub = pc.take(arr, pa.array(idx))
+            m = pc.fill_null(
+                pc.match_substring_regex(sub, rule.spec.pattern), False
+            )
+            hit_mask = m.to_numpy(zero_copy_only=False).astype(bool)
+        else:
+            sub_pd = _pd(on_text).iloc[idx]
+            hit_mask = sub_pd.str.contains(rule.regex_search, na=False).to_numpy()
+        hit = idx[hit_mask]
+        if hit.size == 0:
+            continue
+        rule_id[hit] = rule.rule_id
+        unclaimed[hit] = False
+
+        if rule.template is not None:
+            matched = _pd(on_text).iloc[hit]
+            groups = _extract_with_whole(matched, rule)
+            rendered[hit] = _render(rule.template, groups).to_numpy(dtype=object)
+
+    un = np.flatnonzero(unclaimed)
+    if un.size:
+        # unmatched payload = original text; slice arrow-side, small-ish
+        rendered[un] = pc.take(text_pa, pa.array(un)).to_numpy(
+            zero_copy_only=False
+        )
+
+    rid = pd.array(rule_id, dtype="Int64")
+    rid[rule_id < 0] = pd.NA
+    return (
+        pa.array(rid, type=pa.int32(), from_pandas=True),
+        pa.array(rendered, type=pa.string(), from_pandas=True),
+    )
+
+
+def _assemble_pandas_output(
+    compiled: CompiledRules,
+    rule_id: np.ndarray,
+    count_key: np.ndarray,
+    rendered: np.ndarray,
+    captures: np.ndarray,
+    slim: bool,
+) -> pd.DataFrame:
     if slim:
         rid = pd.Series(rule_id).astype("Int32")
         rid[rule_id < 0] = pd.NA
@@ -215,7 +303,7 @@ def parse_and_match_pandas(
 
     rid = pd.Series(rule_id).astype("Int32")
     rid[rule_id < 0] = pd.NA
-    out = pd.DataFrame(
+    return pd.DataFrame(
         {
             "rule_id": rid,
             "rule_name": pd.Series(rule_id).map(id2name),
@@ -226,4 +314,3 @@ def parse_and_match_pandas(
             "captures": pd.Series(captures, dtype=object),
         }
     )
-    return out

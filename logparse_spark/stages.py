@@ -120,8 +120,20 @@ def bucket_and_salt(
 
 
 def parse_match(df: DataFrame, compiled: CompiledRules, engine: str = "udf") -> DataFrame:
-    """Parse + first-match dispatch (P1-P3, A1-A4 classification)."""
+    """Parse + first-match dispatch (P1-P3, A1-A4 classification).
+
+    Engines: "udf" (default) = scalar arrow_udf + RE2-on-Arrow kernel,
+    the fastest path (no pandas conversion at the boundary, non-input
+    columns bypass Python); "pandas_udf" = scalar pandas UDF (legacy
+    boundary, kept for comparison); "sql" = pure-JVM chained
+    CASE/rlike."""
     if engine == "udf":
+        from .packaging import ensure_shipped
+        from .udf import with_match_arrow
+
+        ensure_shipped(df.sparkSession)
+        return with_match_arrow(df, compiled)
+    if engine == "pandas_udf":
         from .packaging import ensure_shipped
 
         ensure_shipped(df.sparkSession)

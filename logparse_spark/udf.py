@@ -2,8 +2,12 @@
 
 Exactly ONE JVM<->Python crossing per row batch (SURVEY.md §4
 "vectorized execution"): all regex work — first-match dispatch, capture
-extraction, template render — is fused into a single scalar pandas UDF
-returning a struct, so Arrow RecordBatches cross the boundary once.
+extraction, template render — is fused into a single scalar UDF
+returning a slim struct, so Arrow RecordBatches cross the boundary
+once. Default engine is the pyspark-4.1 scalar **arrow_udf**
+(``with_match_arrow``): the kernel consumes Spark's Arrow buffers
+directly, skipping the arrow->pandas->arrow conversion the legacy
+pandas UDF pays (kept as ``with_match`` for comparison).
 
 The pure-SQL variant (``dispatch_sql_columns``) expresses the same
 ordered first-match semantics as chained ``rlike`` CASE + ``regexp_extract``
@@ -15,6 +19,7 @@ real LogParse rule sets lean on Perl-regex features Java regex lacks.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -90,7 +95,41 @@ def with_match(df: DataFrame, compiled: CompiledRules,
     the rule metadata (JVM-side, no shuffle), and count_key is
     ``rendered`` for count rules by kernel construction."""
     udf = make_parse_and_match_udf(compiled)
-    m = udf(F.col(text_col), F.col(tool_col))
+    return _finish_match(df, compiled, udf(F.col(text_col), F.col(tool_col)))
+
+
+def make_parse_and_match_arrow_udf(compiled: CompiledRules):
+    """Scalar **Arrow UDF** (pyspark 4.1 ``F.arrow_udf``) around the
+    Arrow-native kernel: Spark's Arrow batches reach
+    ``kernel.parse_and_match_arrow`` as ``pa.Array`` directly — no
+    arrow->pandas->arrow round trip at the boundary (two full string
+    copies per batch with the pandas UDF), and the RE2 match scan runs
+    on the Arrow buffers themselves. Only MATCHED subsets ever
+    materialize as Python objects (capture extraction + render).
+
+    Unlike ``mapInArrow`` this keeps the scalar-UDF shape: non-input
+    columns bypass Python JVM-side and column pruning still works."""
+    from .kernel import parse_and_match_arrow
+
+    rules_source = compiled.source_text
+
+    @F.arrow_udf(MATCH_SCHEMA)
+    def parse_and_match(text: pa.Array, tool: pa.Array) -> pa.Array:
+        plan = _worker_plan(rules_source)
+        if isinstance(text, pa.ChunkedArray):  # defensive; scalar gets Array
+            text, tool = text.combine_chunks(), tool.combine_chunks()
+        rid, rendered = parse_and_match_arrow(text, tool, plan)
+        return pa.StructArray.from_arrays(
+            [rid, rendered], names=["rule_id", "rendered"]
+        )
+
+    # same dedup-barrier rationale as make_parse_and_match_udf
+    return parse_and_match.asNondeterministic()
+
+
+def _finish_match(df: DataFrame, compiled: CompiledRules, m: Column) -> DataFrame:
+    """Shared tail of every UDF engine: star-expand the slim struct,
+    broadcast-join rule metadata, derive action/sink_id/count_key."""
     out = df.withColumn("_m", m).select("*", "_m.*").drop("_m")
     meta = rule_metadata_df(df.sparkSession, compiled)
     out = out.join(F.broadcast(meta), "rule_id", "left")
@@ -102,6 +141,13 @@ def with_match(df: DataFrame, compiled: CompiledRules,
             F.when(F.col("action") == "count", F.col("rendered")).cast("string"),
         )
     )
+
+
+def with_match_arrow(df: DataFrame, compiled: CompiledRules,
+                     text_col: str = "text", tool_col: str = "tool") -> DataFrame:
+    """df + MATCH_COLUMNS via the scalar Arrow UDF (default engine)."""
+    udf = make_parse_and_match_arrow_udf(compiled)
+    return _finish_match(df, compiled, udf(F.col(text_col), F.col(tool_col)))
 
 
 # ---------------------------------------------------------------------------
