@@ -136,9 +136,13 @@ def parse_and_match_pandas(
     n = len(text)
     text = text.reset_index(drop=True).astype(object)
     tool = tool.reset_index(drop=True).astype(object)
-    # Arrow copies for the RE2 match scan (one conversion per batch)
-    text_pa = pa.array(text, from_pandas=True) if pc is not None else None
-    tool_pa = pa.array(tool, from_pandas=True) if pc is not None else None
+    # Arrow copies for the RE2 match scan (one conversion per batch).
+    # type= is load-bearing: an all-null batch otherwise infers a
+    # null-typed array, for which match_substring_regex has no kernel
+    text_pa = (pa.array(text, type=pa.string(), from_pandas=True)
+               if pc is not None else None)
+    tool_pa = (pa.array(tool, type=pa.string(), from_pandas=True)
+               if pc is not None else None)
 
     rule_id = np.full(n, -1, dtype=np.int64)
     count_key = np.full(n, None, dtype=object)
@@ -210,7 +214,8 @@ def parse_and_match_arrow(
     text_pa: "pa.Array", tool_pa: "pa.Array", compiled: CompiledRules
 ) -> tuple["pa.Array", "pa.Array"]:
     """Arrow-native kernel: RE2 match scan directly on Spark's Arrow
-    buffers (mapInArrow path) — zero arrow->pandas->arrow round trips.
+    buffers (scalar arrow_udf path) — zero arrow->pandas->arrow round
+    trips.
 
     The pandas-UDF path converts every batch to pandas before the
     kernel and back after; at 16+ parallel workers those two full

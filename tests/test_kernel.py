@@ -94,6 +94,60 @@ def test_kernel_property_random_text(texts):
     _kernel_vs_oracle(texts, tools)
 
 
+def _arrow_vs_pandas(text, tool):
+    """The Arrow kernel must agree with the pandas kernel exactly
+    (rule_id + rendered — the slim boundary struct)."""
+    import pyarrow as pa
+
+    from logparse_spark.kernel import parse_and_match_arrow
+
+    rid_pa, rendered_pa = parse_and_match_arrow(
+        pa.array(text, type=pa.string()), pa.array(tool, type=pa.string()),
+        COMPILED,
+    )
+    want = parse_and_match_pandas(
+        pd.Series(text, dtype=object), pd.Series(tool, dtype=object),
+        COMPILED, slim=True,
+    )
+    got_rid = [None if v is None else int(v) for v in rid_pa.to_pylist()]
+    want_rid = [None if v is pd.NA else int(v) for v in want["rule_id"].tolist()]
+    assert got_rid == want_rid
+    want_rendered = want["rendered"].where(want["rendered"].notna(), None).tolist()
+    assert rendered_pa.to_pylist() == want_rendered
+
+
+def test_arrow_kernel_golden():
+    _arrow_vs_pandas(GOLDEN_TEXT, GOLDEN_TOOL)
+
+
+def test_arrow_kernel_first_match_wins():
+    _arrow_vs_pandas(["login failed for user x from 1.1.1.1"], ["shell(arg=full)"])
+
+
+def test_arrow_kernel_on_fixture_sample():
+    t = gen_transcripts(2_000, 100).to_pandas()
+    _arrow_vs_pandas(t["text"].tolist(), t["tool"].tolist())
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
+                                       whitelist_characters=".:=()"),
+                max_size=60,
+            ),
+            st.sampled_from(GOLDEN_TEXT[:-1]),
+        ),
+        max_size=40,
+    )
+)
+def test_arrow_kernel_property_random_text(texts):
+    _arrow_vs_pandas(texts, [None] * len(texts))
+
+
 def test_required_literal():
     assert required_literal(r"^heartbeat ping seq=\d+$") == "heartbeat ping seq="
     assert required_literal(r"login failed for user (\w+) from ([\d.]+)") == \
