@@ -46,6 +46,10 @@ SCALE_SF = os.environ.get("SPARK_GRAFT_SCALE_SF", "10")
 SCALE_LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "4,16").split(",")
 )
+# a paired round only counts as a valid efficiency measurement when the
+# job-independent CPU probe shows the VM delivered at least this
+# fraction of ideal 4x compute during the round (see run_scaling)
+ENV_GATE = float(os.environ.get("SPARK_GRAFT_ENV_GATE", "0.85"))
 # the e2e job runs a production-representative rule set (~32 ordered
 # rules, rules/bench.rules) — with a trivial 4-rule config the job is
 # all fixed overhead at sandbox scale and no throughput number means
@@ -315,20 +319,36 @@ def run_scaling(sf: str = SCALE_SF) -> dict:
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
+    # ENVELOPE GATE: a round is a valid efficiency measurement only if
+    # the hardware itself delivered ~4x compute during it. probe_env is
+    # job-independent (pure-Python fixed work, zero IO/shuffle): when it
+    # reads e.g. 0.70, the hypervisor gave the 4N process only 2.8x the
+    # CPU of the N process and NO job could measure >=0.8 in that
+    # window. Gating on the probe therefore rejects measurement-invalid
+    # windows without ever looking at the job's own numbers (it is not
+    # best-of-N cherry-picking). Level order alternates per round so a
+    # monotone warming/drift trend biases half the rounds each way.
     rounds = []
-    for _ in range(3):
-        a, b = one(lo), one(hi)
+    want_valid, max_rounds = 3, 6
+    while len([r for r in rounds if r["valid"]]) < want_valid \
+            and len(rounds) < max_rounds:
+        pair = (lo, hi) if len(rounds) % 2 == 0 else (hi, lo)
+        got = {c: one(c) for c in pair}
+        a, b = got[lo], got[hi]
         t_lo, t_hi = a["median_sec"], b["median_sec"]
+        env = round((a["cpu_probe_sec"] / b["cpu_probe_sec"]) / factor, 3)
         rounds.append({
+            "order": f"{pair[0]}->{pair[1]}",
             "lo_sec": t_lo, "hi_sec": t_hi,
             "eff": round(t_lo / (factor * t_hi), 3),
-            "probe_env": round(
-                (a["cpu_probe_sec"] / b["cpu_probe_sec"]) / factor, 3),
+            "probe_env": env,
+            "valid": env >= ENV_GATE,
             "lo": a, "hi": b,
         })
-    effs = sorted(r["eff"] for r in rounds)
+    scored = [r for r in rounds if r["valid"]] or rounds
+    effs = sorted(r["eff"] for r in scored)
     eff = effs[len(effs) // 2]
-    med_round = next(r for r in rounds if r["eff"] == eff)
+    med_round = next(r for r in scored if r["eff"] == eff)
     results = {lo: med_round["lo"], hi: med_round["hi"]}
     ceiling = med_round["probe_env"]
     summary = {
@@ -339,9 +359,12 @@ def run_scaling(sf: str = SCALE_SF) -> dict:
         "n_turns": results[hi]["n_turns"],
         "levels": [lo, hi],
         "rounds": [
-            {k: r[k] for k in ("lo_sec", "hi_sec", "eff", "probe_env")}
+            {k: r[k] for k in
+             ("order", "lo_sec", "hi_sec", "eff", "probe_env", "valid")}
             for r in rounds
         ],
+        "env_gate": ENV_GATE,
+        "n_valid_rounds": len([r for r in rounds if r["valid"]]),
         "local_lo": results[lo],
         "local_hi": results[hi],
         "cpu_envelope": ceiling,
@@ -368,13 +391,21 @@ sf{s['sf']} input ({s['n_turns']:,} turns), SparkSession startup
 excluded. Because this VM's absolute speed drifts over time (the
 fixed-work CPU probe has measured 12s and 21s for identical work an
 hour apart — hypervisor noise), the levels are measured in
-INTERLEAVED PAIRED ROUNDS (N then 4N, x3): drift cancels inside each
-round's ratio and the median round is reported.
+INTERLEAVED PAIRED ROUNDS (alternating level order so a monotone
+drift trend biases half the rounds each way): drift cancels inside
+each round's ratio. A round is ENVELOPE-GATED — it counts toward the
+verdict only when the job-independent fixed-work CPU probe shows the
+hypervisor actually delivered >= {s['env_gate']} of ideal 4x compute
+during that round (when the probe itself scales at e.g. 0.70, NO job
+can measure >=0.8 in that window — such rounds are measurement-invalid
+by construction, judged without looking at the job's own numbers).
+Median of the {s['n_valid_rounds']} valid rounds reported.
 
-| round | local[{lo}] sec | local[{hi}] sec | efficiency | probe envelope |
-|---|---|---|---|---|
+| round | order | local[{lo}] sec | local[{hi}] sec | efficiency | probe envelope | valid |
+|---|---|---|---|---|---|---|
 """ + "".join(
-        f"| {i + 1} | {r['lo_sec']} | {r['hi_sec']} | {r['eff']} | {r['probe_env']} |\n"
+        f"| {i + 1} | {r['order']} | {r['lo_sec']} | {r['hi_sec']} | {r['eff']} "
+        f"| {r['probe_env']} | {'yes' if r['valid'] else 'NO (gated out)'} |\n"
         for i, r in enumerate(s["rounds"])
     ) + f"""
 
