@@ -40,12 +40,15 @@ def main() -> None:
 
     cdf = pipeline.classify(df, compiled, role, tool, buckets=16, salt_buckets=4)
     sections.append((
-        "Full pipeline logical plan (classify: scan -> ArrowUDF parse -> "
-        "broadcast enrich -> bucket+salt repartition)",
+        "Full pipeline logical plan (classify: scan -> ArrowUDF parse "
+        "(slim) -> bucket+salt repartition -> broadcast rule metadata + "
+        "enrich)",
         "Must hold: exactly ONE Exchange hashpartitioning (the explicit "
-        "bucket shuffle, carrying parsed columns only — text/tool dropped "
-        "before it); exactly ONE ArrowEvalPython; joins are "
-        "BroadcastHashJoin only; scan reads just the 6 input columns.",
+        "bucket shuffle) carrying ONLY the minimal parsed record "
+        "(conv_id, turn_idx, role, tool, ts, rule_id int, rendered, "
+        "bucket) — text dropped before it, every constant/dictionary "
+        "string attached AFTER it via BroadcastHashJoin; exactly ONE "
+        "ArrowEvalPython; scan reads just the 6 input columns.",
         fmt_plan(cdf),
     ))
 

@@ -56,7 +56,8 @@ def main() -> None:
             sink = SinkSet(out_dir=out_dir)
             t0 = time.monotonic()
             cols = ["bucket", "sink_id", "conv_id", "turn_idx", "role", "ts",
-                    "rule_id", "rule_name", "action", "rendered"]
+                    "rule_id", "rule_name", "action", "rendered",
+                    "role_class", "weight", "tool_family", "is_privileged"]
             keep = [c for c in cols if c in cdf.columns]
             out = cdf.select(*keep).sortWithinPartitions(
                 "sink_id", "conv_id", "turn_idx")

@@ -45,18 +45,28 @@ def classify(
     hot_convs: list[str] | None = None,
     engine: str = "udf",
 ) -> DataFrame:
-    """The full logical plan, no actions: parse -> enrich -> bucket/salt.
+    """The full logical plan, no actions:
+    parse(slim) -> bucket/salt exchange -> rule metadata -> enrich.
 
     The parse runs on scan partitions (row groups spread hot
     conversations naturally, so the UDF stage has no skew), and the
-    ONE shuffle happens after it on the parsed columns — raw text/tool
-    are dropped first, so the exchange never carries the input strings,
-    only (ids, rendered, metadata)."""
-    out = stages.parse_match(df, compiled, engine=engine)
+    ONE shuffle happens right after it carrying only the minimal
+    parsed record (ids, role, tool, ts, rule_id int32, rendered):
+    `text` is dropped before the exchange, and every
+    constant/dictionary decoration — rule_name/action/sink_id from
+    rule_id, role/tool enrichment — happens AFTER the exchange via
+    broadcast hash joins on the bucket-partitioned stream, so those
+    strings never cross the wire. `tool` crosses (it is the post-
+    shuffle enrich key) and is dropped after the join; the enrichment
+    columns land in the routed sinks (J1 is load-bearing, not
+    decorative)."""
+    out = stages.parse_match_slim(df, compiled, engine=engine)
+    out = out.drop("text")
+    out = stages.bucket_and_salt(out, buckets, salt_buckets, hot_convs)
+    out = stages.attach_rule_metadata(out, compiled)
     if role_dict is not None and tool_dict is not None:
         out = stages.enrich(out, role_dict, tool_dict)
-    out = out.drop("text", "tool")
-    return stages.bucket_and_salt(out, buckets, salt_buckets, hot_convs)
+    return out.drop("tool")
 
 
 def run(

@@ -130,7 +130,10 @@ class SinkSet:
         a few MB per GB of data.
         """
         cols = ["bucket", "sink_id", "conv_id", "turn_idx", "role", "ts",
-                "rule_id", "rule_name", "action", "rendered"]
+                "rule_id", "rule_name", "action", "rendered",
+                # enrichment outputs (J1): the broadcast lookup joins
+                # are load-bearing — their columns land in the sinks
+                "role_class", "weight", "tool_family", "is_privileged"]
         keep = [c for c in cols if c in df.columns]
         out = df.select(*keep).sortWithinPartitions("sink_id", "conv_id", "turn_idx")
         if self.fmt == "iceberg":

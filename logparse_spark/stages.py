@@ -143,6 +143,38 @@ def parse_match(df: DataFrame, compiled: CompiledRules, engine: str = "udf") -> 
     raise ValueError(f"unknown engine {engine!r}")
 
 
+def parse_match_slim(df: DataFrame, compiled: CompiledRules,
+                     engine: str = "udf") -> DataFrame:
+    """Parse + dispatch adding ONLY (rule_id, rendered) — the variant
+    the pipeline shuffles: constant-per-rule strings (rule_name,
+    action, sink_id) are re-derived post-exchange from rule_id via
+    ``attach_rule_metadata``, so they never cross the wire."""
+    if engine in ("udf", "pandas_udf"):
+        from .packaging import ensure_shipped
+        from .udf import attach_match, make_parse_and_match_arrow_udf, \
+            make_parse_and_match_udf
+
+        ensure_shipped(df.sparkSession)
+        make = (make_parse_and_match_arrow_udf if engine == "udf"
+                else make_parse_and_match_udf)
+        udf = make(compiled)
+        return attach_match(df, udf(F.col("text"), F.col("tool")))
+    if engine == "sql":
+        # the CASE emits metadata as inline constants; dropping them
+        # here and re-attaching post-shuffle keeps the exchange slim
+        return with_match_sql(df, compiled).drop(
+            "rule_name", "action", "sink_id", "count_key")
+    raise ValueError(f"unknown engine {engine!r}")
+
+
+def attach_rule_metadata(df: DataFrame, compiled: CompiledRules) -> DataFrame:
+    """Post-shuffle half of the parse stage: broadcast rule-metadata
+    join + action/sink_id/count_key derivation (see udf module)."""
+    from .udf import attach_rule_metadata as _attach
+
+    return _attach(df, compiled)
+
+
 def enrich(df: DataFrame, role_dict: DataFrame, tool_dict: DataFrame) -> DataFrame:
     """Broadcast lookup joins (J1): dictionaries are tiny -> broadcast
     hash join, zero shuffle. Left joins keep rows with unknown

@@ -127,12 +127,22 @@ def make_parse_and_match_arrow_udf(compiled: CompiledRules):
     return parse_and_match.asNondeterministic()
 
 
-def _finish_match(df: DataFrame, compiled: CompiledRules, m: Column) -> DataFrame:
-    """Shared tail of every UDF engine: star-expand the slim struct,
-    broadcast-join rule metadata, derive action/sink_id/count_key."""
-    out = df.withColumn("_m", m).select("*", "_m.*").drop("_m")
+def attach_match(df: DataFrame, m: Column) -> DataFrame:
+    """Star-expand the slim (rule_id, rendered) struct onto df."""
+    return df.withColumn("_m", m).select("*", "_m.*").drop("_m")
+
+
+def attach_rule_metadata(df: DataFrame, compiled: CompiledRules) -> DataFrame:
+    """Broadcast-join the constant-per-rule columns onto a frame that
+    already has (rule_id, rendered); derive action/sink_id/count_key.
+
+    Kept separate from ``attach_match`` so the pipeline can run it
+    AFTER the bucket repartition: the exchange then carries only
+    (rule_id int32, rendered) of the parse output — never the
+    rule_name/action/sink_id strings, which are redundant with rule_id
+    and cost ~20-25 bytes/row of shuffle+sort traffic."""
     meta = rule_metadata_df(df.sparkSession, compiled)
-    out = out.join(F.broadcast(meta), "rule_id", "left")
+    out = df.join(F.broadcast(meta), "rule_id", "left")
     return (
         out.withColumn("action", F.coalesce(F.col("action"), F.lit(SINK_UNMATCHED)))
         .withColumn("sink_id", F.coalesce(F.col("sink_id"), F.lit(SINK_UNMATCHED)))
@@ -141,6 +151,12 @@ def _finish_match(df: DataFrame, compiled: CompiledRules, m: Column) -> DataFram
             F.when(F.col("action") == "count", F.col("rendered")).cast("string"),
         )
     )
+
+
+def _finish_match(df: DataFrame, compiled: CompiledRules, m: Column) -> DataFrame:
+    """Shared tail of every UDF engine: star-expand the slim struct,
+    broadcast-join rule metadata, derive action/sink_id/count_key."""
+    return attach_rule_metadata(attach_match(df, m), compiled)
 
 
 def with_match_arrow(df: DataFrame, compiled: CompiledRules,
