@@ -10,6 +10,49 @@ import subprocess
 from logparse_spark.packaging import build_pyfiles_zip
 
 
+def _run_job(tmp_path, fixture_dir, out_name, master, shuffle_partitions):
+    zpath = build_pyfiles_zip(str(tmp_path))
+    out_dir = str(tmp_path / out_name)
+    cmd = [
+        "spark-submit",
+        "--master", master,
+        "--conf", "spark.ui.enabled=false",
+        "--conf", f"spark.sql.shuffle.partitions={shuffle_partitions}",
+        "--py-files", zpath,
+        "/root/repo/jobs/submit_pipeline.py",
+        "--source", os.path.join(fixture_dir, "transcripts.parquet"),
+        "--dict-dir", fixture_dir,
+        "--out", out_dir,
+        "--rules", "/root/repo/rules/default.rules",
+        "--buckets", "16", "--groups", "1",
+    ]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=300, cwd=str(tmp_path)
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    return out_dir
+
+
+def test_results_identical_across_parallelism(tmp_path, fixture_sf_small, spark):
+    """North-rule correctness gate: per-sink counts AND routed rows must
+    be EXACTLY equal at N and 4N parallelism (BASELINE.json: "must match
+    ... exactly at both N and 4N executors"). Runs the real ship-path
+    job at local[2] and local[8] and diffs the written sinks."""
+    lo = _run_job(tmp_path, fixture_sf_small, "routed_lo", "local[2]", 4)
+    hi = _run_job(tmp_path, fixture_sf_small, "routed_hi", "local[8]", 16)
+
+    def load(out_dir):
+        data = os.path.join(out_dir, "runs")
+        df = spark.read.option("basePath", data).parquet(data)
+        rows = df.select("sink_id", "conv_id", "turn_idx", "rule_id",
+                         "rendered").collect()
+        return sorted(map(tuple, rows))
+
+    rows_lo, rows_hi = load(lo), load(hi)
+    assert len(rows_lo) == 5000
+    assert rows_lo == rows_hi
+
+
 def test_spark_submit_pyfiles(tmp_path, fixture_sf_small):
     zpath = build_pyfiles_zip(str(tmp_path))
     out_dir = str(tmp_path / "routed")
