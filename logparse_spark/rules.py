@@ -24,6 +24,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+from .grok import expand_grok
+
 VALID_FIELDS = ("text", "tool")
 VALID_ACTIONS = ("ignore", "count", "report")
 
@@ -40,7 +42,7 @@ _RULE_RE = re.compile(
     re.VERBOSE,
 )
 
-_TEMPLATE_TOKEN_RE = re.compile(r"\{(\d+)\}")
+_TEMPLATE_TOKEN_RE = re.compile(r"\{(\d+|[A-Za-z]\w*)\}")
 
 
 class RuleSyntaxError(ValueError):
@@ -54,9 +56,11 @@ class RuleSpec:
     rule_id: int
     name: str
     field: str          # "text" | "tool"
-    pattern: str        # raw regex source
+    pattern: str        # regex source (grok tokens already expanded)
     action: str         # "ignore" | "count" | "report"
     template: str | None  # count key template or report template
+    # grok %{NAME:field} captures: (field, capture group number), in order
+    named_groups: tuple[tuple[str, int], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -141,14 +145,28 @@ class CompiledRules:
         raise KeyError(name)
 
 
-def compile_template(source: str) -> CompiledTemplate:
+def compile_template(
+    source: str, named: dict[str, int] | None = None
+) -> CompiledTemplate:
+    """Compile a ``{n}`` / ``{field}`` template.
+
+    ``named`` maps grok field names to capture group numbers. A
+    ``{word}`` token that is not a known field stays a literal (the
+    pre-grok behavior for templates containing incidental braces).
+    """
     parts: list[tuple[str, object]] = []
     max_group = 0
     pos = 0
     for m in _TEMPLATE_TOKEN_RE.finditer(source):
+        tok = m.group(1)
+        if tok.isdigit():
+            n = int(tok)
+        elif named and tok in named:
+            n = named[tok]
+        else:
+            continue  # unknown name: leave as literal text
         if m.start() > pos:
             parts.append(("lit", source[pos : m.start()]))
-        n = int(m.group(1))
         max_group = max(max_group, n)
         parts.append(("grp", n))
         pos = m.end()
@@ -192,14 +210,23 @@ def parse_rules(text: str) -> list[RuleSpec]:
             if not (rest.startswith('"') and rest.endswith('"') and len(rest) >= 2):
                 raise RuleSyntaxError(f"line {lineno}: report needs a quoted template")
             template = _unquote(rest)
+        pattern = m.group("pattern")
+        named_groups: tuple[tuple[str, int], ...] = ()
+        if "%{" in pattern:
+            try:
+                pattern, fields = expand_grok(pattern)
+            except ValueError as e:
+                raise RuleSyntaxError(f"line {lineno}: {e}") from e
+            named_groups = tuple(fields.items())
         specs.append(
             RuleSpec(
                 rule_id=len(specs),
                 name=name,
                 field=fieldname,
-                pattern=m.group("pattern"),
+                pattern=pattern,
                 action=action,
                 template=template,
+                named_groups=named_groups,
             )
         )
     return specs
@@ -219,7 +246,11 @@ def compile_rules(text: str) -> CompiledRules:
             rx = re.compile(spec.pattern)
         except re.error as e:  # pragma: no cover - exercised in tests
             raise RuleSyntaxError(f"rule {spec.name!r}: bad regex: {e}") from e
-        tmpl = compile_template(spec.template) if spec.template is not None else None
+        tmpl = (
+            compile_template(spec.template, named=dict(spec.named_groups))
+            if spec.template is not None
+            else None
+        )
         if tmpl is not None and tmpl.max_group > rx.groups:
             raise RuleSyntaxError(
                 f"rule {spec.name!r}: template references group "
