@@ -171,25 +171,24 @@ def run_suite(cores: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         _noop_write(queries["sink_counts"](spark, sf_dir))
 
         timings: dict[str, float] = {}
-        out_dir = _mktemp_out(prefix="bench_sinks_")
-        try:
-            from logparse_spark.fixtures import sf_from_dir
+        # steady-state protocol (SURVEY.md §6) for the e2e job too: the
+        # first execution pays python-worker spawn (32 procs), codegen
+        # and writer class-init — one-time costs a long-running cluster
+        # job amortizes to zero; report the best of 2 like the suite.
+        # (The alternate pure-JVM codegen engine is NOT re-run here —
+        # the engine comparison is a separate study, measured at 60M
+        # turns in BENCH/ENGINES.md via BENCH/compare_engines.py.)
+        from logparse_spark.fixtures import sf_from_dir
 
-            sec, n_turns = run_pipeline_e2e(spark, sf_from_dir(sf_dir), out_dir)
-        finally:
-            shutil.rmtree(out_dir, ignore_errors=True)
+        sec, n_turns = float("inf"), 0
+        for _ in range(2):
+            out_dir = _mktemp_out(prefix="bench_sinks_")
+            try:
+                s, n_turns = run_pipeline_e2e(spark, sf_from_dir(sf_dir), out_dir)
+                sec = min(sec, s)
+            finally:
+                shutil.rmtree(out_dir, ignore_errors=True)
         timings["pipeline_e2e"] = round(sec, 3)
-
-        # the alternate physical strategy: same job, pure-JVM codegen
-        # dispatch (no Python at all) — reported so the Arrow-UDF cost
-        # is quantified, not guessed
-        out_dir = _mktemp_out(prefix="bench_sinks_sql_")
-        try:
-            sec_sql, _ = run_pipeline_e2e(spark, sf_from_dir(sf_dir), out_dir,
-                                          engine="sql")
-        finally:
-            shutil.rmtree(out_dir, ignore_errors=True)
-        timings["pipeline_e2e_sqlengine"] = round(sec_sql, 3)
 
         # steady-state protocol (SURVEY.md §6): first execution pays
         # one-time codegen/python-worker costs; report the warm run

@@ -87,6 +87,32 @@ def _dot64(a: str, b: str, dialect: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _dot_col(a, b):
+    """Spark-side dot product as zip_with + left-fold aggregate.
+
+    Bit-identical to the 64-term literal sum `_dot64` emits for the
+    DuckDB oracle (verified exact on all pairs): aggregate folds
+    left-assoc, 0.0 + t1 + ... + t64, and per-element multiply order
+    is IEEE-commutative. The literal form costs ~10s of driver-side
+    analysis/codegen for the ~600-node tree per 3-dot query — this
+    tree is 3 nodes, so cold-start planning cost vanishes; at 2k rows
+    the interpreted higher-order fold is noise, and at scale the dot
+    product is memory-bound either way."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cosine_col(a: str, b: str):
+    """round(cos_sim, 6) as a Column, oracle-exact (see _dot_col)."""
+    sim = _dot_col(a, b) / (F.sqrt(_dot_col(a, a)) * F.sqrt(_dot_col(b, b)))
+    return F.round(sim, 6)
+
+
 _HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
@@ -408,11 +434,7 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-    dot = _dot64("embedding", "qe", "spark")
-    na = _dot64("embedding", "embedding", "spark")
-    nq = _dot64("qe", "qe", "spark")
-    sim = f"({dot} / (sqrt({na}) * sqrt({nq})))"
-    scored = joined.select("vec_id", F.round(F.expr(sim), 6).alias("sim_r"))
+    scored = joined.select("vec_id", _cosine_col("embedding", "qe").alias("sim_r"))
     return _ranked_topk(scored, 10)
 
 
@@ -430,11 +452,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = emb.filter(F.col("vec_id") != 0).join(
         F.broadcast(q), F.col("bucket") == F.col("qbucket")
     )
-    dot = _dot64("embedding", "qe", "spark")
-    na = _dot64("embedding", "embedding", "spark")
-    nq = _dot64("qe", "qe", "spark")
-    sim = f"({dot} / (sqrt({na}) * sqrt({nq})))"
-    scored = cand.select("vec_id", F.round(F.expr(sim), 6).alias("sim_r"))
+    scored = cand.select("vec_id", _cosine_col("embedding", "qe").alias("sim_r"))
     return _ranked_topk(scored, 5)
 
 
@@ -467,7 +485,81 @@ def _lsh_bucket_sql(col: str, dialect: str) -> str:
 
 
 def _lsh_bucket_col():
-    return F.expr(_lsh_bucket_sql("embedding", "spark"))
+    """Spark side of the 6-bit signature: per-bit hyperplane dot via
+    zip_with+aggregate against an array literal of the same constants
+    the oracle SQL inlines — identical term order, tiny expression
+    tree (the literal form is a ~2400-node tree that costs ~10s of
+    driver-side planning cold)."""
+    bits = []
+    for j in range(6):
+        hp = F.array(*[F.lit(c) for c in _hyperplane(j)])
+        dot = _dot_col(F.col("embedding"), hp)
+        bits.append(F.when(dot > 0, F.lit(2**j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the coarse-quantizer scale path next to ann_lsh):
+    K=4 deterministic centroids (the vectors with vec_id 0..3), every
+    vector assigned to its max-cosine cell, query probes its nprobe=2
+    nearest cells, exact top-5 re-rank inside the probed cells only.
+
+    At 100 TB the cell id is the partition key: the index build is one
+    broadcast (centroids) + narrow map to tag each vector with its
+    cell, written `partitionBy(cell)`; a query then reads nprobe
+    partitions (~nprobe/K of the data) instead of everything. The
+    assignment here uses exact doubles (no rounding) so both engines
+    rank cells bit-identically."""
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    csim = _dot_col("embedding", "ce") / (
+        F.sqrt(_dot_col("embedding", "embedding")) * F.sqrt(_dot_col("ce", "ce"))
+    )
+    assigned = emb.crossJoin(F.broadcast(cents)).withColumn("csim", csim)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    cells = (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cid").alias("cell"), "embedding")
+    )
+    probe = (
+        assigned.filter(F.col("vec_id") == 0)
+        .orderBy(F.desc("csim"), F.asc("cid"))
+        .limit(2)
+        .select(F.col("cid").alias("pcell"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cand = cells.filter(F.col("vec_id") != 0).join(
+        F.broadcast(probe), F.col("cell") == F.col("pcell")
+    )
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id", _cosine_col("embedding", "qe").alias("sim_r")
+    )
+    return _ranked_topk(scored, 5)
+
+
+def q_users_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join breadth: per-(user, day) activity on days with no
+    purchase. The purchase-day set is broadcast (distinct keys, small
+    relative to the event stream), so the anti join is a broadcast
+    hash join — no shuffle of the big side; the groupBy is the only
+    exchange."""
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "day")
+        .distinct()
+    )
+    return (
+        ev.join(F.broadcast(buyers), ["user_id", "day"], "left_anti")
+        .groupBy("user_id", F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
 
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,12 +574,8 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label"),
                    F.col("embedding").alias("eb"))
     j = a.join(b, ["label"]).filter(F.col("vec_a") < F.col("vec_b"))
-    dot = _dot64("ea", "eb", "spark")
-    na = _dot64("ea", "ea", "spark")
-    nb = _dot64("eb", "eb", "spark")
-    sim = f"({dot} / (sqrt({na}) * sqrt({nb})))"
     return (
-        j.withColumn("sim_r", F.round(F.expr(sim), 6))
+        j.withColumn("sim_r", _cosine_col("ea", "eb"))
         .filter(F.col("sim_r") >= 0.35)
         .select("vec_a", "vec_b", "label", "sim_r")
     )
@@ -765,6 +853,57 @@ def corpus_oracles() -> dict[str, str]:
               FROM scored
             ) WHERE rk <= 5
         """,
+        "ann_ivf": f"""
+            WITH cents AS (
+              SELECT vec_id AS cid, embedding AS ce FROM embeddings
+              WHERE vec_id < 4
+            ),
+            a AS (
+              SELECT e.vec_id, e.embedding, c.cid,
+                     ({_dot64("e.embedding", "c.ce", "duckdb")}
+                      / (sqrt({_dot64("e.embedding", "e.embedding", "duckdb")})
+                         * sqrt({_dot64("c.ce", "c.ce", "duckdb")}))) AS csim
+              FROM embeddings e CROSS JOIN cents c
+            ),
+            cells AS (
+              SELECT vec_id, embedding, cid AS cell FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+                FROM a
+              ) WHERE rk = 1
+            ),
+            probe AS (
+              SELECT cid AS pcell FROM a WHERE vec_id = 0
+              ORDER BY csim DESC, cid LIMIT 2
+            ),
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT cl.vec_id,
+                     round(({_dot64("cl.embedding", "q.qe", "duckdb")}
+                      / (sqrt({_dot64("cl.embedding", "cl.embedding", "duckdb")})
+                         * sqrt({_dot64("q.qe", "q.qe", "duckdb")}))), 6) AS sim_r
+              FROM cells cl JOIN probe p ON cl.cell = p.pcell CROSS JOIN q
+              WHERE cl.vec_id <> 0
+            )
+            SELECT rk, vec_id, sim_r FROM (
+              SELECT *, row_number() OVER (ORDER BY sim_r DESC, vec_id) AS rk
+              FROM scored
+            ) WHERE rk <= 5
+        """,
+        "users_no_purchase": """
+            WITH e AS (
+              SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+            )
+            SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+                   count(*) AS n_events
+            FROM e a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM e b
+              WHERE b.event_type = 'purchase'
+                AND b.user_id = a.user_id AND b.day = a.day
+            )
+            GROUP BY user_id, day
+        """,
         "multimodal_features": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                    CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte
@@ -813,6 +952,8 @@ CORPUS_QUERIES = {
     "len_quantiles": q_len_quantiles,
     "ann_cosine": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "users_no_purchase": q_users_no_purchase,
     "multimodal_features": q_multimodal_features,
     "events_windowed": q_events_windowed,
     "events_json": q_events_json,

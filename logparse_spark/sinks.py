@@ -151,7 +151,18 @@ class SinkSet:
             readback = spark.read.table(self.table)
         else:
             readback = spark.read.parquet(self._run_dir())
-        stats = readback.groupBy("bucket", "sink_id").count().collect()
+        # the session's tiny maxPartitionBytes exists to parallelize the
+        # SOURCE scan; for this metadata-ish read (one int column of
+        # files we just wrote, fan-out = many small files) it would
+        # spawn hundreds of near-empty tasks whose scheduling overhead
+        # dwarfs the read — lift it for the duration of the count
+        key = "spark.sql.files.maxPartitionBytes"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "128m")
+        try:
+            stats = readback.groupBy("bucket", "sink_id").count().collect()
+        finally:
+            spark.conf.set(key, prev)
         lineage: dict[int, dict] = {}
         for r in stats:
             b = int(r["bucket"])
