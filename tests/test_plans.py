@@ -80,6 +80,49 @@ def test_sql_engine_whole_stage_codegen(spark, tpath):
     assert "ArrowEvalPython" not in plan
 
 
+def test_redact_prunes_and_stays_in_codegen(spark):
+    """redact reads only 3 of 6 columns and never leaves the JVM."""
+    from logparse_spark import queries
+
+    df = queries.q_redact(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    scan_line = [ln for ln in plan.splitlines() if "FileScan parquet" in ln][0]
+    assert "text" in scan_line and "conv_id" in scan_line
+    assert "role" not in scan_line and "tool" not in scan_line
+    assert "EvalPython" not in plan
+    assert "*(1)" in plan  # whole-stage codegen
+
+
+def test_anti_join_is_broadcast(spark):
+    """users_no_purchase must anti-join via broadcast, never a
+    shuffled/sort-merge join of the big event stream."""
+    from logparse_spark import corpus
+
+    plan = _plan(corpus.q_users_no_purchase(spark, "/root/testdata/sf0.001"))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rollup_uses_expand_single_pass(spark):
+    """ROLLUP compiles to one Expand + hash aggregate, not one
+    aggregation pass per grouping set."""
+    from logparse_spark import queries
+
+    plan = _plan(queries.q_rollup_counts(spark, "/root/testdata/sf0.001"))
+    assert "Expand" in plan
+    assert plan.count("ArrowEvalPython") == 1  # the single parse stage
+
+
+def test_ann_ivf_no_cartesian_product(spark):
+    """Centroids and probe cells are broadcast; the vector table must
+    never be cartesian-joined."""
+    from logparse_spark import corpus
+
+    plan = _plan(corpus.q_ann_ivf(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_one_shuffle_in_pipeline_plan(spark, tpath, fixture_sf_small):
     """classify = scan -> ONE repartition exchange -> parse -> broadcast
     enrich; no second full-data exchange before the sinks."""
