@@ -181,7 +181,7 @@ def run_suite(cores: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         from logparse_spark.fixtures import sf_from_dir
 
         sec, n_turns = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             out_dir = _mktemp_out(prefix="bench_sinks_")
             try:
                 s, n_turns = run_pipeline_e2e(spark, sf_from_dir(sf_dir), out_dir)
@@ -191,16 +191,25 @@ def run_suite(cores: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         timings["pipeline_e2e"] = round(sec, 3)
 
         # steady-state protocol (SURVEY.md §6): first execution pays
-        # one-time codegen/python-worker costs; report the warm run
+        # one-time codegen/python-worker costs; report the warm run.
+        # min-of-3 because this VM's hypervisor drift is large (the same
+        # suite has measured 37s and 114s an hour apart — see the probe
+        # numbers reported below, which calibrate any single reading)
         for name in SUITE:
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.monotonic()
                 _noop_write(queries[name](spark, sf_dir))
                 best = min(best, time.monotonic() - t0)
             timings[name] = round(best, 3)
 
         total = round(sum(timings.values()), 3)
+        # job-independent fixed-work CPU probe (same one the scaling
+        # harness gates on): calibrates this reading against hypervisor
+        # drift — compare probe_sec across BENCH_r*.json before
+        # comparing suite times (identical work has measured 1.3s-2.7s
+        # on this VM depending on the hour)
+        probe_sec = _cpu_probe(cores)
         return {
             "metric": "headline suite wall time (pipeline e2e + operator queries)",
             "value": total,
@@ -210,6 +219,7 @@ def run_suite(cores: int = CPUS, sf_dir: str = SF_DIR) -> dict:
             "n_turns": n_turns,
             "turns_per_sec_e2e": round(n_turns / timings["pipeline_e2e"], 1),
             "parallelism": cores,
+            "cpu_probe_sec": probe_sec,
         }
     finally:
         spark.stop()
