@@ -44,9 +44,12 @@ TRANSCRIPT_SCHEMA = T.StructType(
 
 
 def stream_transcripts(spark: SparkSession, source_dir: str,
-                       max_files_per_trigger: int | None = None) -> DataFrame:
+                       max_files_per_trigger: int | None = None,
+                       glob_filter: str | None = None) -> DataFrame:
     """File-source stream of transcript parquet (schema fixed by the
-    input_hint; streams cannot infer schemas)."""
+    input_hint; streams cannot infer schemas). ``glob_filter`` narrows
+    a mixed directory (e.g. a fixture dir that also holds dictionary
+    parquet) to just the transcript files."""
     if not os.path.isdir(source_dir):
         raise ValueError(
             f"stream source must be a DIRECTORY of transcript parquet files "
@@ -55,6 +58,8 @@ def stream_transcripts(spark: SparkSession, source_dir: str,
     reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
     return reader.parquet(source_dir)
 
 
@@ -150,18 +155,29 @@ def windowed_sink_counts(
     """Stateful tumbling-window per-sink counts with late-data handling.
 
     Uses the pure-SQL dispatch engine so the whole streaming plan stays
-    JVM-side (stateful ops + Python UDFs complicate state store reuse)."""
+    JVM-side (stateful ops + Python UDFs complicate state store reuse).
+
+    Timezone stability: watermarks require TIMESTAMP (LTZ), but the
+    input `ts` is wall-clock NTZ and `window()` buckets on UTC epoch —
+    under a half-hour-offset session tz the bucket boundaries would
+    land at :30 wall time. The event time is therefore UTC-ALIGNED
+    (`to_utc_timestamp(cast, session_tz)` makes instant == wall@UTC),
+    so buckets fall on wall-clock hour boundaries in EVERY session tz,
+    and `win_start` converts back to the same NTZ wall clock a batch
+    `date_trunc('hour', ts)` yields."""
+    spark = df_stream.sparkSession
+    tz = spark.conf.get("spark.sql.session.timeZone")
     cdf = stages.parse_match(df_stream, compiled, engine="sql")
     return (
         stages.routed(cdf)
-        # watermarks require TIMESTAMP (LTZ); parquet NTZ is cast here —
-        # wall-clock instants, tz-stable because session tz is fixed
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("win"), "sink_id")
+        .withColumn("ts_evt", F.to_utc_timestamp(F.col("ts").cast("timestamp"), tz))
+        .withWatermark("ts_evt", watermark)
+        .groupBy(F.window("ts_evt", window).alias("win"), "sink_id")
         .agg(F.count("*").alias("n"))
         .select(
-            F.col("win.start").alias("win_start"),
+            F.from_utc_timestamp(F.col("win.start"), tz)
+            .cast("timestamp_ntz")
+            .alias("win_start"),
             "sink_id",
             "n",
         )
