@@ -43,9 +43,12 @@ def read_raw_syslog(spark: SparkSession, path: str, ref_year: int = 2026) -> Dat
         F.regexp_extract("value", SYSLOG_RE, 7).alias("message"),
         F.col("value"),
     )
-    ts = F.to_timestamp(
+    # to_timestamp_ntz: wall-clock parse with NO session-tz roundtrip
+    # (to_timestamp would shift wall times falling in a DST gap of the
+    # session zone), matching the transcript schema's TIMESTAMP_NTZ
+    ts = F.to_timestamp_ntz(
         F.concat_ws(" ", F.lit(str(ref_year)), F.col("mon"), F.col("day"), F.col("hms")),
-        "yyyy MMM d HH:mm:ss",
+        F.lit("yyyy MMM d HH:mm:ss"),
     )
     w = Window.partitionBy("host").orderBy("ts", "message")
     out = (
