@@ -933,10 +933,62 @@ def corpus_oracles() -> dict[str, str]:
                    count(*) AS n_events
             FROM x GROUP BY user_id
         """,
+        "tfidf_terms": _TFIDF_ORACLE,
     }
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global TF-IDF top-30 terms over documents (text-analysis
+    breadth: the term-weighting primitive a training-data curation
+    pipeline uses for topic filtering / quality lexicons).
+
+    Float determinism: all aggregation is INTEGER (sum_tf = total term
+    count, df = doc frequency) and the only float op is one
+    sum_tf * ln(n_docs/df) multiply per term, rounded to 4 — identical
+    in both engines; never an order-dependent float sum. Top-30 is
+    orderBy(desc, term).limit — TakeOrderedAndProject, per-partition
+    top-k then a driver merge, no global sort at scale."""
+    words = (
+        _with_words(_docs(spark, sf_dir))
+        .select("doc_id", F.explode("ws").alias("term"))
+        .filter(F.length("term") >= 3)
+    )
+    tf = words.groupBy("term").agg(
+        F.count("*").alias("sum_tf"), F.countDistinct("doc_id").alias("df")
+    )
+    total = _docs(spark, sf_dir).agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        tf.crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("sum_tf") * F.log(F.col("n_docs") / F.col("df")), 4),
+        )
+        .select("term", "sum_tf", "df", "tfidf")
+        .orderBy(F.desc("tfidf"), F.asc("term"))
+        .limit(30)
+    )
+
+
+_TFIDF_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_WORDS_DUCK}) AS term FROM documents
+    ),
+    f AS (
+      SELECT term, count(*) AS sum_tf, count(DISTINCT doc_id) AS df
+      FROM w WHERE len(term) >= 3 GROUP BY term
+    ),
+    t AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT term, sum_tf, df,
+           round(sum_tf * ln(n_docs / df), 4) AS tfidf
+    FROM f, t
+    ORDER BY tfidf DESC, term ASC LIMIT 30
+"""
+
+
 CORPUS_QUERIES = {
+    "tfidf_terms": q_tfidf_terms,
     "dedup_embed": q_dedup_embed,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
