@@ -1,0 +1,51 @@
+"""Deterministic JSONL transcripts fixture (structured-source compat).
+
+Modern agent-transcript exports arrive as newline-delimited JSON at
+least as often as columnar files; `sources.read_raw_jsonl` keeps that
+ingestion mode first-class next to raw syslog. The fixture is the
+SAME rows as the parquet transcripts fixture (gen_transcripts),
+re-serialized line-by-line, so the `raw_jsonl` query's oracle is the
+full row set: DuckDB parses the identical file with read_json and both
+engines must agree bit-for-bit, including the timestamp round trip
+(always 6 fractional digits -> one parse pattern serves both).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from .gen_transcripts import ensure_fixture
+
+
+def jsonl_fixture_path(sf: str) -> str:
+    return os.path.join(ensure_fixture(sf), "transcripts.jsonl")
+
+
+def ensure_jsonl_fixture(sf: str) -> str:
+    """Idempotently materialize the JSONL export; returns the path."""
+    import pyarrow.parquet as pq
+
+    d = ensure_fixture(sf)
+    path = os.path.join(d, "transcripts.jsonl")
+    marker = path + "._COMPLETE"
+    if os.path.exists(marker):
+        return path
+    tbl = pq.read_table(os.path.join(d, "transcripts.parquet"))
+    cols = tbl.to_pydict()
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for i in range(tbl.num_rows):
+            row = {
+                "conv_id": cols["conv_id"][i],
+                "turn_idx": cols["turn_idx"][i],
+                "role": cols["role"][i],
+                "text": cols["text"][i],
+                "tool": cols["tool"][i],
+                "ts": cols["ts"][i].strftime("%Y-%m-%d %H:%M:%S.%f"),
+            }
+            f.write(json.dumps(row) + "\n")
+    os.replace(tmp, path)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return path

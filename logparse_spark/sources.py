@@ -30,6 +30,27 @@ SYSLOG_RE = (
 )
 
 
+JSONL_READ_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts string"
+)
+
+
+def read_raw_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Newline-delimited-JSON transcripts -> the canonical frame.
+
+    Schema is EXPLICIT (never inferred — inference is a full extra
+    scan at 100 TB and can silently widen types between batches); the
+    timestamp arrives as a string with exactly 6 fractional digits and
+    parses via to_timestamp_ntz (wall clock, tz-independent, matching
+    the parquet TIMESTAMP_NTZ shape). Whole-stage codegen throughout:
+    Jackson JSON parse + timestamp parse are JVM-side expressions."""
+    df = spark.read.schema(JSONL_READ_SCHEMA).json(path)
+    return df.withColumn(
+        "ts", F.to_timestamp_ntz("ts", F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    )
+
+
 def read_raw_syslog(spark: SparkSession, path: str, ref_year: int = 2026) -> DataFrame:
     """Raw syslog text -> transcript-shaped DataFrame (S1 compat mode)."""
     lines = spark.read.text(path)

@@ -123,6 +123,56 @@ def test_ann_ivf_no_cartesian_product(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_tfidf_topk_no_global_sort(spark):
+    """Global top-30 must be TakeOrderedAndProject (per-partition top-k
+    + driver merge), never a full Sort of the term table."""
+    from logparse_spark import corpus
+
+    plan = _plan(corpus.q_tfidf_terms(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_conv_bounds_partial_agg_no_window(spark):
+    """min_by/max_by keep first/last inside the aggregate buffer: no
+    Window operator, and the aggregation is partial+final (the shuffle
+    carries ~one row per (conv, map partition), not every turn the way
+    a first_value window would)."""
+    from logparse_spark import queries
+
+    plan = _plan(queries.q_conv_bounds(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan, plan
+    assert "partial_min_by" in plan, plan
+
+
+def test_cube_uses_expand_single_pass(spark):
+    """CUBE compiles to one Expand + hash aggregate like ROLLUP."""
+    from logparse_spark import queries
+
+    plan = _plan(queries.q_cube_counts(spark, "/root/testdata/sf0.001"))
+    assert "Expand" in plan
+    assert "EvalPython" not in plan  # raw-scan query, no parse stage
+
+
+def test_pivot_single_parse_single_aggregate_pass(spark):
+    """Explicit-value pivot is ONE aggregation over the routed frame —
+    no per-role scan fan-out and only the one parse stage."""
+    from logparse_spark import queries
+
+    plan = _plan(queries.q_pivot_roles(spark, "/root/testdata/sf0.001"))
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_raw_jsonl_stays_in_codegen(spark):
+    """JSON source parse is all JVM expressions — no Python stage."""
+    from logparse_spark import queries
+
+    plan = _plan(queries.q_raw_jsonl(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan
+    assert "FileScan json" in plan
+
+
 def test_one_shuffle_in_pipeline_plan(spark, tpath, fixture_sf_small):
     """classify = scan -> ONE repartition exchange -> parse -> broadcast
     enrich; no second full-data exchange before the sinks."""
