@@ -146,6 +146,41 @@ def conversation_progress(df_stream: DataFrame, compiled: CompiledRules) -> Data
     )
 
 
+def session_counts(
+    df_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful SESSION windows: per-key session event counts.
+
+    ``session_window(ts, gap)`` merges an event into the open session
+    iff its ts < previous session end (half-open [ts, ts+gap)): a new
+    session starts exactly when the gap is >= `gap`. Sessions merge
+    ACROSS micro-batches through the state store — the property
+    test_session_windows_multibatch locks in. Event time is
+    UTC-aligned like windowed_sink_counts (tz-stable); the emitted
+    sess_start converts back to the naive wall clock (= min event ts
+    of the session)."""
+    tz = df_stream.sparkSession.conf.get("spark.sql.session.timeZone")
+    return (
+        df_stream.withColumn(
+            "ts_evt", F.to_utc_timestamp(F.col(ts_col).cast("timestamp"), tz)
+        )
+        .withWatermark("ts_evt", watermark)
+        .groupBy(F.session_window("ts_evt", gap).alias("win"), user_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.from_utc_timestamp(F.col("win.start"), tz)
+            .cast("timestamp_ntz")
+            .alias("sess_start"),
+            user_col,
+            "n_events",
+        )
+    )
+
+
 def windowed_sink_counts(
     df_stream: DataFrame,
     compiled: CompiledRules,

@@ -81,6 +81,88 @@ def test_windowed_counts_stateful(spark, stream_src, tmp_path):
     assert got == want
 
 
+def test_session_windows_multibatch(spark, tmp_path_factory, tmp_path):
+    """session_window must MERGE sessions across micro-batches: the
+    events table arrives as 3 time-ordered files, one per trigger, so
+    sessions spanning a file boundary only come out right if the state
+    store carries the open session into the next batch. Truth = batch
+    gaps-and-islands with the same >=30min boundary."""
+    src = tmp_path_factory.mktemp("events_stream")
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    n = t.num_rows
+    for i in range(3):
+        pq.write_table(t.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3),
+                       os.path.join(str(src), f"part-{i}.parquet"))
+
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    agg = streaming.session_counts(sdf, gap="30 minutes", watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("sess_multi")
+        .option("checkpointLocation", str(tmp_path / "cp3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["sess_start"]): r["n_events"]
+        for r in spark.table("sess_multi").collect()
+    }
+
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(str(src))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    islands = (
+        ev.withColumn("pts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("pts").isNull()
+                | (F.expr("timestampdiff(MICROSECOND, pts, ts)")
+                   >= 1_800_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    want = {
+        (r["user_id"], r["sess_start"]): r["n_events"]
+        for r in islands.groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("sess_start"), F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert got == want
+    # guard against fixture drift: at least one session must actually
+    # span a file boundary (sessions computed per-file and summed must
+    # exceed the global count, i.e. some merged across batches)
+    per_file_sessions = 0
+    for i in range(3):
+        fi = spark.read.parquet(os.path.join(str(src), f"part-{i}.parquet"))
+        per_file_sessions += (
+            fi.withColumn("pts", F.lag("ts").over(w))
+            .withColumn(
+                "new_sess",
+                F.when(
+                    F.col("pts").isNull()
+                    | (F.expr("timestampdiff(MICROSECOND, pts, ts)")
+                       >= 1_800_000_000),
+                    1,
+                ).otherwise(0),
+            )
+            .agg(F.sum("new_sess")).collect()[0][0]
+        )
+    assert per_file_sessions > len(got), "no session spanned a batch boundary"
+
+
 def test_conversation_progress_stateful(spark, stream_src, tmp_path):
     """applyInPandasWithState: final per-conv state equals batch truth."""
     from logparse_spark import streaming as st
