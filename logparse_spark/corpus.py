@@ -934,7 +934,50 @@ def corpus_oracles() -> dict[str, str]:
             FROM x GROUP BY user_id
         """,
         "tfidf_terms": _TFIDF_ORACLE,
+        "revenue_by_nation": _REVENUE_ORACLE,
     }
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join breadth (TPC-H-Q5 shape): lineitem x orders x
+    customer x nation -> revenue per nation.
+
+    lineitem x orders is big-x-big: at scale it is a shuffle join on
+    the order key (Catalyst/AQE picks sort-merge, or broadcast when
+    runtime stats show one side small — both are the right answer at
+    their respective sizes, so the plan is left to the optimizer).
+    nation is dimension-tiny and explicitly broadcast. Revenue is
+    summed in INTEGER CENTS — per-item round(price*(1-disc)*100) is
+    the identical double expression in both engines, and the integer
+    sum is order-independent, so the oracle compare is exact (a raw
+    double sum would be order-dependent across engines)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").alias("n_items"), F.sum(cents).alias("revenue_cents")
+    )
+
+
+_REVENUE_ORACLE = """
+    SELECT n_name AS nation, count(*) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+"""
 
 
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -989,6 +1032,7 @@ _TFIDF_ORACLE = f"""
 
 CORPUS_QUERIES = {
     "tfidf_terms": q_tfidf_terms,
+    "revenue_by_nation": q_revenue_by_nation,
     "dedup_embed": q_dedup_embed,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,

@@ -186,6 +186,7 @@ def windowed_sink_counts(
     compiled: CompiledRules,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
     """Stateful tumbling-window per-sink counts with late-data handling.
 
@@ -207,7 +208,7 @@ def windowed_sink_counts(
         stages.routed(cdf)
         .withColumn("ts_evt", F.to_utc_timestamp(F.col("ts").cast("timestamp"), tz))
         .withWatermark("ts_evt", watermark)
-        .groupBy(F.window("ts_evt", window).alias("win"), "sink_id")
+        .groupBy(F.window("ts_evt", window, slide or window).alias("win"), "sink_id")
         .agg(F.count("*").alias("n"))
         .select(
             F.from_utc_timestamp(F.col("win.start"), tz)
