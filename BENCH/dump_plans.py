@@ -68,6 +68,26 @@ def main() -> None:
         fmt_plan(ann),
     ))
 
+    rev = corpus.CORPUS_QUERIES["revenue_by_nation"](spark, sf)
+    sections.append((
+        "Multi-way shuffle join (revenue_by_nation, TPC-H-Q5 shape)",
+        "Must hold: no CartesianProduct; nation joined via "
+        "BroadcastHashJoin; lineitem x orders join strategy left to "
+        "Catalyst/AQE (shuffle join at scale, broadcast when runtime "
+        "stats show a small side); partial aggregation before the "
+        "final group-by exchange.",
+        fmt_plan(rev),
+    ))
+
+    tfidf = corpus.CORPUS_QUERIES["tfidf_terms"](spark, sf)
+    sections.append((
+        "Global TF-IDF top-30 terms",
+        "Must hold: TakeOrderedAndProject for the top-k (never a global "
+        "sort); the n_docs scalar attached via broadcast, not a "
+        "shuffle.",
+        fmt_plan(tfidf),
+    ))
+
     md = ["# BENCH/PLANS — physical plans of the load-bearing queries",
           "",
           "Regenerate with `python BENCH/dump_plans.py`. Plan-shape",
