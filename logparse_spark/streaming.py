@@ -79,20 +79,8 @@ def run_stream(
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
     sdf = stream_transcripts(spark, source_dir)
 
-    def process_batch(df: DataFrame, batch_id: int) -> None:
-        cdf = stages.parse_match(df, compiled, engine=engine)
-        routed = stages.routed(cdf).select(
-            "sink_id", "conv_id", "turn_idx", "role", "ts",
-            "rule_id", "rule_name", "action", "count_key", "rendered",
-        )
-        (
-            routed.sortWithinPartitions("sink_id", "conv_id", "turn_idx")
-            .write.mode("append").partitionBy("sink_id")
-            .parquet(os.path.join(out_dir, "routed"))
-        )
-
     writer = (
-        sdf.writeStream.foreachBatch(process_batch)
+        sdf.writeStream.foreachBatch(make_batch_writer(compiled, out_dir, engine))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
@@ -101,6 +89,33 @@ def run_stream(
     if available_now:
         q.awaitTermination()
     return q
+
+
+def make_batch_writer(compiled: CompiledRules, out_dir: str, engine: str = "udf"):
+    """Build the foreachBatch function: parse -> route -> fan-out write.
+
+    IDEMPOTENT per micro-batch: foreachBatch is only at-least-once (a
+    batch whose write succeeded but whose checkpoint commit did not is
+    re-run on recovery with the SAME batch_id), so each batch
+    OVERWRITES its own `batch_id=N` directory instead of blind-append.
+    A retry replaces identical data in place and the sink stays
+    exactly-once end-to-end — the streaming analogue of the batch
+    manifest commit protocol in sinks.py. Readers just scan
+    `<out>/routed` (batch_id and sink_id become partition columns)."""
+
+    def process_batch(df: DataFrame, batch_id: int) -> None:
+        cdf = stages.parse_match(df, compiled, engine=engine)
+        routed = stages.routed(cdf).select(
+            "sink_id", "conv_id", "turn_idx", "role", "ts",
+            "rule_id", "rule_name", "action", "count_key", "rendered",
+        )
+        (
+            routed.sortWithinPartitions("sink_id", "conv_id", "turn_idx")
+            .write.mode("overwrite").partitionBy("sink_id")
+            .parquet(os.path.join(out_dir, "routed", f"batch_id={batch_id}"))
+        )
+
+    return process_batch
 
 
 def conversation_progress(df_stream: DataFrame, compiled: CompiledRules) -> DataFrame:

@@ -81,6 +81,26 @@ def test_windowed_counts_stateful(spark, stream_src, tmp_path):
     assert got == want
 
 
+def test_foreachbatch_retry_idempotent(spark, stream_src, tmp_path):
+    """foreachBatch is at-least-once: a batch can re-run with the same
+    batch_id after a crash between sink write and checkpoint commit.
+    The writer must be idempotent — re-invoking it with the same
+    batch_id must not change the routed row count."""
+    out = str(tmp_path / "out")
+    compiled = load_rules(RULES)
+    write_batch = streaming.make_batch_writer(compiled, out)
+    df = spark.read.parquet(stream_src)
+
+    write_batch(df, 0)
+    n1 = spark.read.parquet(os.path.join(out, "routed")).count()
+    write_batch(df, 0)  # simulated retry of the SAME batch
+    n2 = spark.read.parquet(os.path.join(out, "routed")).count()
+    assert n1 == n2
+    write_batch(df, 1)  # a NEW batch appends its own directory
+    n3 = spark.read.parquet(os.path.join(out, "routed")).count()
+    assert n3 == 2 * n1
+
+
 def test_session_windows_multibatch(spark, tmp_path_factory, tmp_path):
     """session_window must MERGE sessions across micro-batches: the
     events table arrives as 3 time-ordered files, one per trigger, so
