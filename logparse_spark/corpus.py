@@ -935,6 +935,7 @@ def corpus_oracles() -> dict[str, str]:
         """,
         "tfidf_terms": _TFIDF_ORACLE,
         "revenue_by_nation": _REVENUE_ORACLE,
+        "curate_corpus": _CURATE_ORACLE,
     }
 
 
@@ -977,6 +978,55 @@ _REVENUE_ORACLE = """
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
     GROUP BY 1
+"""
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation capstone: the composed filter -> dedup pass
+    a training-data pipeline runs before tokenization. Gates: token
+    count >= 5, English stopword density (the lang_stopword heuristic),
+    alnum mass >= half the raw length; then exact near-dup removal on
+    whitespace-normalized text, keeping the lowest doc_id per group.
+
+    Scale shape: all gates are narrow JVM-side map work; the ONE
+    shuffle groups by md5(norm_text) — a 32-byte key instead of the
+    full document, so the exchange carries hashes + ids, never text.
+    (Same trick as dedup_exact; md5 is identical hex in both engines.)"""
+    docs = _with_words(_docs(spark, sf_dir))
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    n_stop = F.size(F.filter(F.col("ws"), lambda w: w.isin("the", "a", "of", "and")))
+    cand = docs.select(
+        "doc_id",
+        F.md5(norm).alias("key"),
+        F.size("ws").alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")).alias("n_alnum"),
+        F.length("text").alias("text_len"),
+    ).filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_stop") * 12 >= F.col("n_tokens"))
+        & (F.col("n_alnum") * 2 >= F.col("text_len"))
+    )
+    return cand.groupBy("key").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dups")
+    ).select("doc_id", "n_dups")
+
+
+_CURATE_ORACLE = f"""
+    WITH c AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS key,
+             len(ws) AS n_tokens,
+             len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and'))) AS n_stop,
+             length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS n_alnum,
+             length(text) AS text_len
+      FROM (SELECT doc_id, text, {_WORDS_DUCK} AS ws FROM documents)
+    )
+    SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+    FROM c
+    WHERE n_tokens >= 5 AND n_stop * 12 >= n_tokens
+      AND n_alnum * 2 >= text_len
+    GROUP BY key
 """
 
 
@@ -1033,6 +1083,7 @@ _TFIDF_ORACLE = f"""
 CORPUS_QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "revenue_by_nation": q_revenue_by_nation,
+    "curate_corpus": q_curate_corpus,
     "dedup_embed": q_dedup_embed,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
