@@ -171,8 +171,9 @@ def session_counts(
     """Stateful SESSION windows: per-key session event counts.
 
     ``session_window(ts, gap)`` merges an event into the open session
-    iff its ts < previous session end (half-open [ts, ts+gap)): a new
-    session starts exactly when the gap is >= `gap`. Sessions merge
+    iff its ts <= previous session end (end-INCLUSIVE: a gap of
+    exactly `gap` still merges; a new session needs gap > `gap` —
+    pinned by test_session_window_exact_boundary). Sessions merge
     ACROSS micro-batches through the state store — the property
     test_session_windows_multibatch locks in. Event time is
     UTC-aligned like windowed_sink_counts (tz-stable); the emitted

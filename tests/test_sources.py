@@ -56,3 +56,27 @@ def test_raw_log_through_pipeline(spark, tmp_path):
         "err 17 step 9: disk quota exceeded",
         "err 503 step 4: upstream returned 503",
     ]
+
+
+def test_jsonl_fixture_deterministic_and_parses(spark):
+    """gen_jsonl must emit byte-identical output across calls (the
+    oracle reads the same file the query reads), and read_raw_jsonl
+    must round-trip it to exactly the parquet fixture rows."""
+    import hashlib
+    import os
+
+    from logparse_spark.fixtures.gen_jsonl import ensure_jsonl_fixture
+
+    p = ensure_jsonl_fixture("0.001")
+    h1 = hashlib.md5(open(p, "rb").read()).hexdigest()
+    os.remove(p)
+    os.remove(p + "._COMPLETE")
+    p2 = ensure_jsonl_fixture("0.001")
+    h2 = hashlib.md5(open(p2, "rb").read()).hexdigest()
+    assert p == p2 and h1 == h2
+
+    jdf = sources.read_raw_jsonl(spark, p)
+    pdf = spark.read.parquet(os.path.join(os.path.dirname(p), "transcripts.parquet"))
+    assert jdf.count() == pdf.count()
+    assert jdf.schema == pdf.schema
+    assert jdf.exceptAll(pdf).count() == 0

@@ -106,7 +106,7 @@ def test_session_windows_multibatch(spark, tmp_path_factory, tmp_path):
     events table arrives as 3 time-ordered files, one per trigger, so
     sessions spanning a file boundary only come out right if the state
     store carries the open session into the next batch. Truth = batch
-    gaps-and-islands with the same >=30min boundary."""
+    gaps-and-islands with the same strict >30min boundary."""
     src = tmp_path_factory.mktemp("events_stream")
     t = pq.read_table("/root/testdata/sf0.001/events.parquet")
     n = t.num_rows
@@ -143,7 +143,7 @@ def test_session_windows_multibatch(spark, tmp_path_factory, tmp_path):
             F.when(
                 F.col("pts").isNull()
                 | (F.expr("timestampdiff(MICROSECOND, pts, ts)")
-                   >= 1_800_000_000),
+                   > 1_800_000_000),
                 1,
             ).otherwise(0),
         )
@@ -174,13 +174,65 @@ def test_session_windows_multibatch(spark, tmp_path_factory, tmp_path):
                 F.when(
                     F.col("pts").isNull()
                     | (F.expr("timestampdiff(MICROSECOND, pts, ts)")
-                       >= 1_800_000_000),
+                       > 1_800_000_000),
                     1,
                 ).otherwise(0),
             )
             .agg(F.sum("new_sess")).collect()[0][0]
         )
     assert per_file_sessions > len(got), "no session spanned a batch boundary"
+
+
+def test_session_window_exact_boundary(spark, tmp_path):
+    """Pin the session-merge semantics at the EXACT gap boundary
+    (measure-zero in the random fixture): Spark's session end is
+    INCLUSIVE — with a 30-min gap, an event arriving exactly 30:00
+    after the previous one still MERGES; only a strictly larger gap
+    (30:01) opens a new session. The DuckDB oracles use the matching
+    strict > boundary."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    offs = [0,             # session 1 start
+            1799,          # +29:59 -> merges
+            1799 + 1800,   # +30:00 exactly -> STILL merges (inclusive)
+            1799 + 1800 + 1801]  # +30:01 -> NEW session 2
+    tbl = pa.table({
+        "event_id": pa.array(range(4), type=pa.int64()),
+        "ts": pa.array([base + dt.timedelta(seconds=s) for s in offs],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([7] * 4, type=pa.int64()),
+        "event_type": pa.array(["x"] * 4),
+        "value": pa.array([0.0] * 4),
+        "props": pa.array(["{}"] * 4),
+    })
+    src = tmp_path / "boundary_events"
+    src.mkdir()
+    pq.write_table(tbl, str(src / "part-0.parquet"))
+
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    sdf = spark.readStream.schema(schema).parquet(str(src))
+    agg = streaming.session_counts(sdf, gap="30 minutes", watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("sess_boundary")
+        .option("checkpointLocation", str(tmp_path / "cpb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["sess_start"], r["n_events"])
+        for r in spark.table("sess_boundary").collect()
+    )
+    want = [
+        (base, 3),
+        (base + dt.timedelta(seconds=offs[3]), 1),
+    ]
+    assert got == want
 
 
 def test_conversation_progress_stateful(spark, stream_src, tmp_path):
