@@ -993,7 +993,9 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     full document, so the exchange carries hashes + ids, never text.
     (Same trick as dedup_exact; md5 is identical hex in both engines.)"""
     docs = _with_words(_docs(spark, sf_dir))
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    # explicit whitespace class: Java \s matches \x0b, RE2 \s does not —
+    # the same literal class keeps the md5 keys engine-identical
+    norm = F.lower(F.trim(F.regexp_replace("text", "[ \\t\\n\\f\\r]+", " ")))
     n_stop = F.size(F.filter(F.col("ws"), lambda w: w.isin("the", "a", "of", "and")))
     cand = docs.select(
         "doc_id",
@@ -1015,7 +1017,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CURATE_ORACLE = f"""
     WITH c AS (
       SELECT doc_id,
-             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS key,
+             md5(lower(trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ', 'g')))) AS key,
              len(ws) AS n_tokens,
              len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and'))) AS n_stop,
              length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS n_alnum,

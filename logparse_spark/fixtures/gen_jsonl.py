@@ -27,7 +27,7 @@ def ensure_jsonl_fixture(sf: str) -> str:
     import pyarrow.parquet as pq
 
     d = ensure_fixture(sf)
-    path = os.path.join(d, "transcripts.jsonl")
+    path = jsonl_fixture_path(sf)
     marker = path + "._COMPLETE"
     if os.path.exists(marker):
         return path

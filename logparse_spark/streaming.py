@@ -8,9 +8,11 @@ are pure DataFrame->DataFrame transforms.
 Two surfaces:
 
 - ``run_stream``: incremental ETL via ``foreachBatch`` — each
-  micro-batch goes through parse -> route -> fan-out append, with the
-  stream checkpoint giving exactly-once file-source progress (the
-  streaming analogue of the batch manifest/resume protocol in
+  micro-batch goes through parse -> route -> fan-out write into its
+  own ``batch_id=N`` directory with overwrite (see make_batch_writer:
+  foreachBatch alone is only at-least-once; the idempotent per-batch
+  overwrite plus the stream checkpoint makes the sink exactly-once —
+  the streaming analogue of the batch manifest/resume protocol in
   sinks.py).
 - ``windowed_sink_counts``: a stateful watermarked tumbling-window
   aggregation (late data handled by the watermark), the streaming
@@ -40,6 +42,13 @@ TRANSCRIPT_SCHEMA = T.StructType(
         T.StructField("tool", T.StringType()),
         T.StructField("ts", T.TimestampNTZType()),
     ]
+)
+
+
+# the driver testdata events table shape (streams need explicit schemas)
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, "
+    "event_type string, value double, props string"
 )
 
 

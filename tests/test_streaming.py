@@ -114,8 +114,7 @@ def test_session_windows_multibatch(spark, tmp_path_factory, tmp_path):
         pq.write_table(t.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3),
                        os.path.join(str(src), f"part-{i}.parquet"))
 
-    schema = ("event_id long, ts timestamp_ntz, user_id long, "
-              "event_type string, value double, props string")
+    schema = streaming.EVENTS_STREAM_SCHEMA
     sdf = (spark.readStream.schema(schema)
            .option("maxFilesPerTrigger", 1).parquet(str(src)))
     agg = streaming.session_counts(sdf, gap="30 minutes", watermark="1 hour")
@@ -212,8 +211,7 @@ def test_session_window_exact_boundary(spark, tmp_path):
     src.mkdir()
     pq.write_table(tbl, str(src / "part-0.parquet"))
 
-    schema = ("event_id long, ts timestamp_ntz, user_id long, "
-              "event_type string, value double, props string")
+    schema = streaming.EVENTS_STREAM_SCHEMA
     sdf = spark.readStream.schema(schema).parquet(str(src))
     agg = streaming.session_counts(sdf, gap="30 minutes", watermark="1 hour")
     q = (
