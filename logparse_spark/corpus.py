@@ -136,18 +136,33 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates via MinHash + LSH banding.
 
-    shingle(word 2-grams) -> 8 md5-minhashes -> 4 bands of 2 -> docs
+    shingle(word 2-grams) -> 8 minhash lanes -> 4 bands of 2 -> docs
     sharing any band key are candidates. The O(n^2) all-pairs problem
     becomes an equi-join on (band, key): shuffle is proportional to
     docs x bands, not pairs. Skewed band keys (boilerplate dups) are
     the classic hazard — AQE skew-join handles moderate cases; a salt
-    + cap on bucket size is the 100 TB mitigation."""
+    + cap on bucket size is the 100 TB mitigation.
+
+    Lane construction: the 8 lanes are 32-bit (8-hex-char) slices of
+    just TWO md5 digests per shingle (plain + salted) instead of 8
+    independent digests — md5 bits are independent, so the slices are
+    valid minhash permutations at a quarter of the hashing cost, which
+    dominates this query (hashing runs per exploded shingle row).
+    md5 hex is identical in both engines, so the oracle slices the
+    same digests."""
     sh = (
         _with_bigrams(_with_words(_docs(spark, sf_dir)))
         .select("doc_id", F.explode("shingles").alias("s"))
     )
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}") for j in range(8)]
+    h_plain = F.md5(F.col("s"))
+    h_salt = F.md5(F.concat(F.lit("x:"), F.col("s")))
+    lanes = [F.substring(h_plain, 1 + 8 * j, 8) for j in range(4)] + [
+        F.substring(h_salt, 1 + 8 * j, 8) for j in range(4)
+    ]
+    sig = sh.select(
+        "doc_id", *[ln.alias(f"l{j}") for j, ln in enumerate(lanes)]
+    ).groupBy("doc_id").agg(
+        *[F.min(f"l{j}").alias(f"h{j}") for j in range(8)]
     )
     bands = sig.select(
         "doc_id",
@@ -676,7 +691,9 @@ def corpus_oracles() -> dict[str, str]:
         f"FROM ({words_cte}) WHERE len(ws) >= 2"
     )
     sig_cols = ", ".join(
-        f"min(md5('{j}:' || s)) AS h{j}" for j in range(8)
+        f"min(substr(md5({'s' if j < 4 else chr(39) + 'x:' + chr(39) + ' || s'}), "
+        f"{1 + 8 * (j % 4)}, 8)) AS h{j}"
+        for j in range(8)
     )
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS b, h{2*b} || '|' || h{2*b+1} AS k FROM sig"
