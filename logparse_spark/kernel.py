@@ -156,7 +156,7 @@ def parse_and_match_pandas(
         on_text = rule.spec.field == "text"
         target_all = text if on_text else tool
         idx = np.flatnonzero(unclaimed)
-        sub = target_all.iloc[idx]
+        sub = target_all if idx.size == n else target_all.iloc[idx]
 
         if prefilter:
             lit = required_literal(rule.spec.pattern)
@@ -168,7 +168,10 @@ def parse_and_match_pandas(
                 sub = target_all.iloc[idx]
 
         if _re2_compatible(rule.spec.pattern):
-            sub_pa = pc.take(text_pa if on_text else tool_pa, pa.array(idx))
+            arr = text_pa if on_text else tool_pa
+            # same gather-skip as the arrow kernel: no copy while the
+            # unclaimed mask still covers every row
+            sub_pa = arr if idx.size == n else pc.take(arr, pa.array(idx))
             m = pc.fill_null(
                 pc.match_substring_regex(sub_pa, rule.spec.pattern), False
             )
@@ -253,7 +256,9 @@ def parse_and_match_arrow(
         idx = np.flatnonzero(unclaimed)
         if _re2_compatible(rule.spec.pattern):
             arr = text_pa if on_text else tool_pa
-            sub = pc.take(arr, pa.array(idx))
+            # skip the gather while nothing is claimed yet (always true
+            # for rule 1): take() copies the whole string array
+            sub = arr if idx.size == n else pc.take(arr, pa.array(idx))
             m = pc.fill_null(
                 pc.match_substring_regex(sub, rule.spec.pattern), False
             )
