@@ -213,6 +213,39 @@ def parse_and_match_pandas(
     )
 
 
+_ANY_PATTERN_CACHE: dict[int, dict[str, str | None]] = {}
+
+
+def _any_patterns(compiled: CompiledRules) -> dict[str, str | None]:
+    """Combined alternation pattern per field, or None when any rule of
+    that field is not RE2-compatible (prefiltering then unsafe).
+
+    RE2 compiles alternations into one DFA, so ONE pass with
+    `(?:p1)|(?:p2)|...` answers "could any rule match this row" at
+    roughly the cost of a single rule's scan. Rows failing it skip the
+    whole per-rule loop — for log workloads where most lines match no
+    rule (the unmatched bucket), that converts O(rules) scans per row
+    into O(1). Capture groups are stripped (nogroup) — match-only."""
+    key = id(compiled)
+    got = _ANY_PATTERN_CACHE.get(key)
+    if got is None:
+        got = {}
+        from .rules import nogroup_pattern
+
+        for field_name in ("text", "tool"):
+            pats = [r.spec.pattern for r in compiled.rules
+                    if r.spec.field == field_name]
+            if not pats:
+                got[field_name] = ""  # no rules -> nothing can match
+            elif all(_re2_compatible(p) for p in pats):
+                combined = "|".join(f"(?:{nogroup_pattern(p)})" for p in pats)
+                got[field_name] = combined if _re2_compatible(combined) else None
+            else:
+                got[field_name] = None  # a non-RE2 rule -> no prefilter
+        _ANY_PATTERN_CACHE[key] = got
+    return got
+
+
 def parse_and_match_arrow(
     text_pa: "pa.Array", tool_pa: "pa.Array", compiled: CompiledRules
 ) -> tuple["pa.Array", "pa.Array"]:
@@ -235,6 +268,19 @@ def parse_and_match_arrow(
     rendered = np.full(n, None, dtype=object)
     unclaimed = np.ones(n, dtype=bool)
 
+    # combined-alternation pre-scan: rows that can match NO rule on
+    # either field never enter the per-rule loop (they stay unclaimed
+    # and fall straight through to the unmatched bucket)
+    eligible = np.zeros(n, dtype=bool)
+    anypats = _any_patterns(compiled)
+    for field_name, arr in (("text", text_pa), ("tool", tool_pa)):
+        pat = anypats[field_name]
+        if pat is None:  # non-RE2 rule present: cannot prefilter
+            eligible |= True
+        elif pat:
+            m = pc.fill_null(pc.match_substring_regex(arr, pat), False)
+            eligible |= m.to_numpy(zero_copy_only=False).astype(bool)
+
     # pandas views for the rare non-RE2 rule and for extraction subsets
     text_pd: pd.Series | None = None
     tool_pd: pd.Series | None = None
@@ -250,10 +296,11 @@ def parse_and_match_arrow(
         return tool_pd
 
     for rule in compiled.rules:
-        if not unclaimed.any():
+        candidates = unclaimed & eligible
+        if not candidates.any():
             break
         on_text = rule.spec.field == "text"
-        idx = np.flatnonzero(unclaimed)
+        idx = np.flatnonzero(candidates)
         if _re2_compatible(rule.spec.pattern):
             arr = text_pa if on_text else tool_pa
             # skip the gather while nothing is claimed yet (always true
