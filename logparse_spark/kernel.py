@@ -150,12 +150,27 @@ def parse_and_match_pandas(
     captures = np.full(n, None, dtype=object)
     unclaimed = np.ones(n, dtype=bool)
 
+    # combined-alternation pre-scan (see _any_patterns): rows no rule
+    # can match skip the per-rule loop entirely
+    if pc is not None:
+        eligible = np.zeros(n, dtype=bool)
+        for field_name, arr in (("text", text_pa), ("tool", tool_pa)):
+            pat = _any_patterns(compiled)[field_name]
+            if pat is None:
+                eligible |= True
+            elif pat:
+                m = pc.fill_null(pc.match_substring_regex(arr, pat), False)
+                eligible |= m.to_numpy(zero_copy_only=False).astype(bool)
+    else:  # pragma: no cover — pyarrow is baked into this env
+        eligible = np.ones(n, dtype=bool)
+
     for rule in compiled.rules:
-        if not unclaimed.any():
+        candidates = unclaimed & eligible
+        if not candidates.any():
             break
         on_text = rule.spec.field == "text"
         target_all = text if on_text else tool
-        idx = np.flatnonzero(unclaimed)
+        idx = np.flatnonzero(candidates)
         sub = target_all if idx.size == n else target_all.iloc[idx]
 
         if prefilter:
