@@ -32,21 +32,37 @@ def main() -> None:
             run_pipeline_e2e(spark, "1", out)
         finally:
             shutil.rmtree(out, ignore_errors=True)
-        for engine in ("udf", "pandas_udf", "sql"):
-            secs = []
-            n = 0
-            for _ in range(runs):
+        # INTERLEAVED rounds (same reasoning as bench.py run_scaling):
+        # this VM's speed drifts up to ~2x between minutes, so timing
+        # all runs of one engine then the next lets a slow window
+        # poison one engine's numbers entirely. Each round times every
+        # engine back-to-back; cross-engine RATIOS within a round are
+        # drift-cancelled, and best-across-rounds bounds the absolute.
+        engines = ("udf", "pandas_udf", "sql")
+        secs: dict[str, list] = {e: [] for e in engines}
+        n = 0
+        for _ in range(runs):
+            for engine in engines:
                 out = _mktemp_out(f"engcmp_{engine}_")
                 try:
                     sec, n = run_pipeline_e2e(spark, sf, out, engine=engine)
                 finally:
                     shutil.rmtree(out, ignore_errors=True)
-                secs.append(round(sec, 3))
-            best = min(secs)
+                secs[engine].append(round(sec, 3))
+        rounds = [
+            {e: secs[e][i] for e in engines} | {
+                f"{e}_vs_udf": round(secs[e][i] / secs["udf"][i], 3)
+                for e in engines if e != "udf"
+            }
+            for i in range(runs)
+        ]
+        for engine in engines:
+            best = min(secs[engine])
             results[engine] = {
-                "runs": secs, "best_sec": best,
+                "runs": secs[engine], "best_sec": best,
                 "turns_per_sec": round(n / best, 1), "n_turns": n,
             }
+        results["rounds"] = rounds
     finally:
         spark.stop()
         shutil.rmtree(f"/dev/shm/spark_local_{os.getpid()}", ignore_errors=True)
