@@ -366,6 +366,7 @@ def run_scaling(sf: str = SCALE_SF) -> dict:
             "valid": env >= ENV_GATE,
             "lo": a, "hi": b,
         })
+    n_valid = len([r for r in rounds if r["valid"]])
     scored = [r for r in rounds if r["valid"]] or rounds
     effs = sorted(r["eff"] for r in scored)
     eff = effs[len(effs) // 2]
@@ -391,8 +392,17 @@ def run_scaling(sf: str = SCALE_SF) -> dict:
         "cpu_envelope": ceiling,
         "eff_vs_envelope": round(eff / ceiling, 3) if ceiling else None,
         "pass_ge_0.8": eff >= 0.8,
+        # a verdict needs `want_valid` envelope-valid rounds; fewer means
+        # the VM never delivered ~4x compute during the session and the
+        # number is a measurement of the hypervisor, not the job
+        "inconclusive": n_valid < want_valid,
     }
-    _write_baseline_md(summary)
+    if summary["inconclusive"]:
+        print(f"[scaling] only {n_valid}/{want_valid} envelope-valid rounds — "
+              "measurement inconclusive; BENCH/BASELINE.md left untouched",
+              file=sys.stderr)
+    else:
+        _write_baseline_md(summary)
     return summary
 
 
