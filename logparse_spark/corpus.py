@@ -953,7 +953,51 @@ def corpus_oracles() -> dict[str, str]:
         "tfidf_terms": _TFIDF_ORACLE,
         "revenue_by_nation": _REVENUE_ORACLE,
         "curate_corpus": _CURATE_ORACLE,
+        "asof_clicks": _ASOF_ORACLE,
     }
+
+
+def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN as a composition (the operator Spark lacks natively):
+    for every error event, the same user's most recent click at or
+    before it.
+
+    Pattern: ordered window CARRY-FORWARD — last(click_id, ignorenulls)
+    over (user ORDER BY ts ROWS UNBOUNDED PRECEDING) — instead of the
+    naive range self-join. One partition-local sort per user key,
+    O(n log n), no quadratic candidate explosion; at 100 TB the window
+    partitions by the same user/conv bucket key the table is already
+    laid out on, so the sort is partition-local with no extra
+    exchange. Exact integer/id outputs -> exact oracle compare."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = ev.withColumn(
+        "last_click_id",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return carried.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "last_click_id"
+    )
+
+
+_ASOF_ORACLE = """
+    SELECT event_id AS err_id, user_id, last_click_id FROM (
+      SELECT event_id, user_id, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_click_id
+      FROM events
+    )
+    WHERE event_type = 'error'
+"""
 
 
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1103,6 +1147,7 @@ CORPUS_QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "revenue_by_nation": q_revenue_by_nation,
     "curate_corpus": q_curate_corpus,
+    "asof_clicks": q_asof_clicks,
     "dedup_embed": q_dedup_embed,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
