@@ -954,6 +954,7 @@ def corpus_oracles() -> dict[str, str]:
         "revenue_by_nation": _REVENUE_ORACLE,
         "curate_corpus": _CURATE_ORACLE,
         "asof_clicks": _ASOF_ORACLE,
+        "range_join_events": _RANGE_JOIN_ORACLE,
     }
 
 
@@ -997,6 +998,62 @@ _ASOF_ORACLE = """
       FROM events
     )
     WHERE event_type = 'error'
+"""
+
+
+_RANGE_US = 300_000_000  # 5 minutes
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN as a banded composition: (error, click) pairs by the
+    same user within 5 minutes of each other.
+
+    The naive form is a theta join (|t_e - t_c| <= B) — a per-user
+    cartesian at scale. Banding makes it an EQUI join: with buckets of
+    width B, |dt| <= B implies the two buckets differ by at most 1, so
+    one side explodes to its 3 neighbouring buckets, the join runs on
+    (user_id, bucket), and an exact |dt| filter trims band edges. 3x
+    fan-out on the smaller side buys a shuffle hash join instead of a
+    quadratic range scan. Bucket time is NAIVE wall microseconds
+    (timestampdiff from a fixed NTZ epoch — no tz/DST nonlinearity),
+    matching DuckDB's epoch_us exactly."""
+    ev = _events(spark, sf_dir).withColumn(
+        "t_us",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"),
+    ).withColumn("bucket", F.floor(F.col("t_us") / _RANGE_US))
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id"), F.col("event_id").alias("err_id"),
+            F.col("t_us").alias("t_err"),
+            F.explode(
+                F.array(
+                    F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1
+                )
+            ).alias("bucket"),
+        )
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("t_us").alias("t_clk"), "bucket",
+    )
+    return (
+        err.join(clk, ["user_id", "bucket"])
+        .filter(F.abs(F.col("t_err") - F.col("t_clk")) <= _RANGE_US)
+        .select(
+            "err_id", "click_id", "user_id",
+            (F.col("t_err") - F.col("t_clk")).alias("dt_us"),
+        )
+    )
+
+
+_RANGE_JOIN_ORACLE = f"""
+    SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id,
+           epoch_us(e.ts) - epoch_us(c.ts) AS dt_us
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= {_RANGE_US}
 """
 
 
@@ -1148,6 +1205,7 @@ CORPUS_QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "curate_corpus": q_curate_corpus,
     "asof_clicks": q_asof_clicks,
+    "range_join_events": q_range_join_events,
     "dedup_embed": q_dedup_embed,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
