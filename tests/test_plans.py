@@ -173,6 +173,28 @@ def test_raw_jsonl_stays_in_codegen(spark):
     assert "FileScan json" in plan
 
 
+def test_asof_join_is_window_not_join(spark):
+    """The as-of composition must compile to ONE window over the event
+    stream — no join operator of any kind (the naive formulation is a
+    range self-join)."""
+    from logparse_spark import corpus
+
+    plan = _plan(corpus.q_asof_clicks(spark, "/root/testdata/sf0.001"))
+    assert "Window" in plan
+    assert "Join" not in plan, plan
+
+
+def test_range_join_is_equi_join(spark):
+    """The banded range join must be a hash equi-join — never a
+    cartesian/nested-loop theta join."""
+    from logparse_spark import corpus
+
+    plan = _plan(corpus.q_range_join_events(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan
+
+
 def test_one_shuffle_in_pipeline_plan(spark, tpath, fixture_sf_small):
     """classify = scan -> ONE repartition exchange -> parse -> broadcast
     enrich; no second full-data exchange before the sinks."""
