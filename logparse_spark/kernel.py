@@ -228,7 +228,7 @@ def parse_and_match_pandas(
     )
 
 
-_ANY_PATTERN_CACHE: dict[int, dict[str, str | None]] = {}
+_ANY_PATTERN_CACHE: dict[tuple, dict[str, str | None]] = {}
 
 
 def _any_patterns(compiled: CompiledRules) -> dict[str, str | None]:
@@ -240,8 +240,16 @@ def _any_patterns(compiled: CompiledRules) -> dict[str, str | None]:
     roughly the cost of a single rule's scan. Rows failing it skip the
     whole per-rule loop — for log workloads where most lines match no
     rule (the unmatched bucket), that converts O(rules) scans per row
-    into O(1). Capture groups are stripped (nogroup) — match-only."""
-    key = id(compiled)
+    into O(1). Capture groups are stripped (nogroup) — match-only.
+
+    The cache key is the ordered (field, pattern) content of the rule
+    set — everything the combined pattern depends on. Keying on
+    ``id(compiled)`` (the original implementation) served stale entries
+    when a garbage-collected CompiledRules' id was reused by a new rule
+    set, silently routing matchable rows to the unmatched bucket; a
+    content key makes collisions impossible and bounds the cache by the
+    number of distinct rule sets seen in the process."""
+    key = tuple((r.spec.field, r.spec.pattern) for r in compiled.rules)
     got = _ANY_PATTERN_CACHE.get(key)
     if got is None:
         got = {}

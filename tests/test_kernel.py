@@ -168,3 +168,31 @@ def test_partition_invariant():
     assert got["sink_id"].notna().all()
     by_sink = got.groupby("sink_id").size()
     assert by_sink.sum() == len(t)
+
+
+def test_any_pattern_cache_not_fooled_by_id_reuse():
+    """Regression (round-1 ADVICE): _ANY_PATTERN_CACHE was keyed by
+    id(compiled); a GC'd CompiledRules whose id was reused by a NEW rule
+    set served the OLD combined pre-scan pattern, silently routing
+    matchable rows to unmatched. Content keying must make two rule sets
+    with different patterns produce different pre-scan results even when
+    objects are created/destroyed in sequence (the id-reuse window)."""
+    import gc
+
+    from logparse_spark.kernel import parse_and_match_pandas as run
+    from logparse_spark.rules import compile_rules
+
+    rules_a = compile_rules('rule a match /alpha (\\d+)/ count {1}\n')
+    text = pd.Series(["beta 7", "alpha 7"], dtype=object)
+    tool = pd.Series([None, None], dtype=object)
+    got_a = run(text, tool, rules_a)
+    assert got_a["rule_name"].where(got_a["rule_name"].notna(), None).tolist() \
+        == [None, "a"]
+    del rules_a
+    gc.collect()  # maximize chance the next compile reuses the freed id
+    rules_b = compile_rules('rule b match /beta (\\d+)/ count {1}\n')
+    got_b = run(text, tool, rules_b)
+    # under the id-keyed cache, the stale "alpha" pre-scan pattern marked
+    # "beta 7" unmatchable and this row fell to unmatched (rule_name None)
+    assert got_b["rule_name"].where(got_b["rule_name"].notna(), None).tolist() \
+        == ["b", None]
