@@ -149,7 +149,8 @@ def run_pipeline_e2e(spark, sf: str, out_dir: str,
     from logparse_spark.sinks import SinkSet
 
     sink = SinkSet(out_dir=out_dir)
-    lineage = sink.write_classified(cdf)  # the ONE pass over the data
+    # the ONE pass over the data: footer-metadata lineage + Observation
+    lineage = sink.write_classified(cdf, sinks=compiled.sink_ids)
     sink.commit(lineage)
     # per-sink summary (G1) folds out of the lineage metrics driver-side
     totals: dict[str, int] = {}

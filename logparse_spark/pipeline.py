@@ -118,10 +118,11 @@ def run(
             buckets=buckets, salt_buckets=salt_buckets, hot_convs=hot, engine=engine,
         )
         # single pass: ONE action writes every classified row (ignored
-        # included) and lineage comes from a metadata-cheap read-back —
-        # no persist, the parse UDF runs exactly once per group
+        # included); lineage row counts come from the written files'
+        # parquet footers and cardinality from a write-time Observation
+        # — no persist, no read-back, the parse UDF runs exactly once
         sink = SinkSet(out_dir=out_dir, fmt=sink_format, table=sink_table)
-        lineage = sink.write_classified(cdf)
+        lineage = sink.write_classified(cdf, sinks=compiled.sink_ids)
         # buckets with zero rows still need committing
         for b in group:
             lineage.setdefault(b, {"rows": 0, "sinks": {}})

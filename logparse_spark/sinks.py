@@ -15,6 +15,23 @@ mid-write leaves no visible partial state; a resumed run re-processes
 exactly the uncommitted buckets (exactly-once at bucket granularity).
 The per-(stage,bucket) row counts stored alongside are the
 "per-partition lineage and row-count metrics" the north rule requires.
+
+Lineage protocol (ONE pass over the data, ZERO read-back):
+  - ``bucket`` and ``sink_id`` are both write-partition columns, so
+    exact per-(bucket, sink) row counts come from the parquet FOOTERS
+    of the files the write just produced — pure metadata (~KB per
+    file), never a second scan of the data. This is precisely how an
+    Iceberg commit gets its per-partition stats (manifest-file row
+    counts); on the Iceberg branch the snapshot itself carries them.
+  - A write-time ``Observation`` rides the same action with a
+    conservation total plus per-sink ``approx_count_distinct(conv_id)``
+    cardinality. Deliberately per-SINK, not per-(bucket, sink): every
+    observed aggregate is evaluated for EVERY row, so B x S metrics
+    cost O(B*S) per row (6k+ branch evaluations/row at 1024 buckets) —
+    a throughput cliff. S HLL sketches are a handful of updates per
+    row, and per-bucket conversation counts are ~convs/B by xxhash64
+    uniformity anyway; the exact per-bucket ROW counts come free from
+    the footers above.
 """
 
 from __future__ import annotations
@@ -79,6 +96,8 @@ class SinkSet:
     fmt: str = "parquet"  # "iceberg" branch activates where the jar exists
     table: str | None = None  # iceberg table identifier
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+    # per-sink approx conv cardinality from the last write's Observation
+    _convs_approx: dict[str, int] | None = field(default=None, repr=False)
 
     def _run_dir(self) -> str:
         return os.path.join(self.out_dir, "runs", self.run_id)
@@ -110,7 +129,8 @@ class SinkSet:
             else:
                 raise
 
-    def write_classified(self, df: DataFrame) -> dict[int, dict]:
+    def write_classified(self, df: DataFrame,
+                         sinks: list[str] | None = None) -> dict[int, dict]:
         """Single-pass fan-out write of ALL classified rows (ignored
         rows included, under sink_id=ignored with a null payload — at
         parquet level the constant columns dictionary-encode to almost
@@ -118,57 +138,105 @@ class SinkSet:
 
         Returns per-bucket lineage {bucket: {"rows": n, "sinks": {s: n}}}.
 
-        One pass over the data: the upstream plan (scan -> parse ->
-        enrich -> repartition) executes exactly once, inside this write
-        action — no persist, no second parse. The sort key starts with
-        the dynamic-partition column so the file writer's required
-        ordering is pre-satisfied (single sequential open writer per
-        task); (conv_id, turn_idx) after it preserves routed-row
-        equality order within each sink. Lineage counts come from a
-        column-pruned read-back of the files just written — the scan
-        touches only the int `bucket` column + the sink_id dir value,
-        a few MB per GB of data.
+        One pass over the data, ONE job: the upstream plan (scan ->
+        parse -> enrich -> repartition) executes exactly once, inside
+        this write action — no persist, no second parse, and no
+        read-back of the written output. Lineage row counts come from
+        the parquet footers of the files this run just wrote (see
+        module docstring); an ``Observation`` on the same action
+        cross-checks conservation (sum of footer counts must equal the
+        observed total) and, when ``sinks`` names the expected sink
+        ids, records per-sink ``approx_count_distinct(conv_id)``
+        cardinality into the manifest at commit.
+
+        The sort key starts with the two dynamic-partition columns so
+        the file writer's required ordering is pre-satisfied (single
+        sequential open writer per task); (conv_id, turn_idx) after
+        them preserves routed-row equality order within each sink.
         """
+        from pyspark.sql import Observation
+
         cols = ["bucket", "sink_id", "conv_id", "turn_idx", "role", "ts",
                 "rule_id", "rule_name", "action", "rendered",
                 # enrichment outputs (J1): the broadcast lookup joins
                 # are load-bearing — their columns land in the sinks
                 "role_class", "weight", "tool_family", "is_privileged"]
         keep = [c for c in cols if c in df.columns]
-        out = df.select(*keep).sortWithinPartitions("sink_id", "conv_id", "turn_idx")
+        obs = Observation()
+        metrics = [F.count(F.lit(1)).alias("rows_total")]
+        for i, s in enumerate(sinks or []):
+            metrics.append(
+                F.approx_count_distinct(
+                    F.when(F.col("sink_id") == s, F.col("conv_id"))
+                ).alias(f"convs_{i}")
+            )
+        out = (
+            df.select(*keep)
+            .observe(obs, *metrics)
+            .sortWithinPartitions("bucket", "sink_id", "conv_id", "turn_idx")
+        )
         if self.fmt == "iceberg":
             self._write_iceberg(out)
         else:
             (
                 out.write.mode("append")
-                .partitionBy("sink_id")
+                .partitionBy("bucket", "sink_id")
                 .parquet(self._run_dir())
             )
-        spark = df.sparkSession
+        got = obs.get  # blocks until the (already finished) action reports
         if self.fmt == "iceberg":
-            # production refinement: scope to the just-committed snapshot
-            # via VERSION AS OF; a fresh table has exactly this run's rows
-            readback = spark.read.table(self.table)
-        else:
-            readback = spark.read.parquet(self._run_dir())
-        # the session's tiny maxPartitionBytes exists to parallelize the
-        # SOURCE scan; for this metadata-ish read (one int column of
-        # files we just wrote, fan-out = many small files) it would
-        # spawn hundreds of near-empty tasks whose scheduling overhead
-        # dwarfs the read — lift it for the duration of the count
-        key = "spark.sql.files.maxPartitionBytes"
-        prev = spark.conf.get(key)
-        spark.conf.set(key, "128m")
-        try:
+            # guard-only in this sandbox (no runtime jar): an Iceberg
+            # snapshot carries per-partition stats natively; reading the
+            # just-committed snapshot is the stand-in until then
+            readback = df.sparkSession.read.table(self.table)
             stats = readback.groupBy("bucket", "sink_id").count().collect()
-        finally:
-            spark.conf.set(key, prev)
+            lineage: dict[int, dict] = {}
+            for r in stats:
+                entry = lineage.setdefault(int(r["bucket"]), {"rows": 0, "sinks": {}})
+                entry["rows"] += int(r["count"])
+                entry["sinks"][str(r["sink_id"])] = int(r["count"])
+        else:
+            lineage = self._lineage_from_footers()
+        total = sum(e["rows"] for e in lineage.values())
+        if total != int(got["rows_total"]):
+            raise RuntimeError(
+                f"lineage conservation violated: footers count {total} rows, "
+                f"write observed {got['rows_total']} — output files missing "
+                f"or foreign files present under {self._run_dir()}"
+            )
+        if sinks:
+            self._convs_approx = {
+                s: int(got[f"convs_{i}"]) for i, s in enumerate(sinks)
+            }
+        return lineage
+
+    def _lineage_from_footers(self) -> dict[int, dict]:
+        """Exact per-(bucket, sink) row counts from the parquet footers
+        of THIS run's files — metadata-only (the Iceberg-manifest
+        pattern), no Spark job, no data read. Driver-side O(files);
+        on a real deployment the table format's own commit metadata
+        replaces this walk outright."""
+        import pyarrow.parquet as pq
+
+        run_dir = self._run_dir()
         lineage: dict[int, dict] = {}
-        for r in stats:
-            b = int(r["bucket"])
+        for root, _, files in os.walk(run_dir):
+            pfs = [f for f in files if f.endswith(".parquet")]
+            if not pfs:
+                continue
+            parts = dict(
+                seg.split("=", 1)
+                for seg in os.path.relpath(root, run_dir).split(os.sep)
+                if "=" in seg
+            )
+            b, s = int(parts["bucket"]), parts["sink_id"]
+            n = sum(
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for f in pfs
+            )
             entry = lineage.setdefault(b, {"rows": 0, "sinks": {}})
-            entry["rows"] += int(r["count"])
-            entry["sinks"][str(r["sink_id"])] = int(r["count"])
+            entry["rows"] += n
+            entry["sinks"][s] = entry["sinks"].get(s, 0) + n
         return lineage
 
     def commit(self, lineage: dict[int, dict], extra: dict | None = None) -> None:
@@ -180,14 +248,17 @@ class SinkSet:
                 "rows": entry["rows"],
                 "sinks": entry["sinks"],
             }
-        manifest["history"].append(
-            {
-                "run_id": self.run_id,
-                "committed_buckets": sorted(int(b) for b in lineage),
-                "wall_time": time.time(),
-                **(extra or {}),
-            }
-        )
+        entry = {
+            "run_id": self.run_id,
+            "committed_buckets": sorted(int(b) for b in lineage),
+            "wall_time": time.time(),
+            **(extra or {}),
+        }
+        if self._convs_approx is not None:
+            # per-sink approx_count_distinct(conv_id) from the write's
+            # Observation — the cardinality metric rides the manifest
+            entry["convs_approx"] = dict(self._convs_approx)
+        manifest["history"].append(entry)
         _atomic_write_json(_manifest_path(self.out_dir), manifest)
 
     # -- read side -----------------------------------------------------
@@ -231,3 +302,17 @@ class SinkSet:
             rows or [(None, None, None, None)],
             "bucket int, run_id string, sink_id string, rows long",
         ).filter(F.col("bucket").isNotNull())
+
+    def sink_cardinality_df(self, spark: SparkSession) -> DataFrame:
+        """Per-(run, sink) approx conversation cardinality recorded by
+        the write-time Observation (n_convs_approx = HLL
+        approx_count_distinct(conv_id), default 5% rsd)."""
+        manifest = load_manifest(self.out_dir)
+        rows = []
+        for h in manifest["history"]:
+            for sink, n in (h.get("convs_approx") or {}).items():
+                rows.append((h["run_id"], sink, int(n)))
+        return spark.createDataFrame(
+            rows or [(None, None, None)],
+            "run_id string, sink_id string, n_convs_approx long",
+        ).filter(F.col("run_id").isNotNull())

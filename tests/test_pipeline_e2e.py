@@ -214,3 +214,59 @@ def test_iceberg_branch_guards_cleanly(spark, fixture_sf_small):
     sink = SinkSet(out_dir="/tmp/unused", fmt="iceberg", table="cat.db.routed")
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         sink.write_classified(cdf)
+
+
+def test_write_lineage_no_readback_job(spark, fixture_sf_small, tmp_path_factory):
+    """Round-2 fix: lineage must NOT re-scan the written output. The
+    footer-metadata + Observation path adds zero Spark jobs on top of
+    the bare fan-out write — compare job counts under job groups."""
+    sc = spark.sparkContext
+    df = stages.read_transcripts(spark, f"{fixture_sf_small}/transcripts.parquet")
+    cdf = pipeline.classify(df, COMPILED, buckets=4, salt_buckets=2)
+
+    bare_out = str(tmp_path_factory.mktemp("bare"))
+    sc.setJobGroup("bare_write", "baseline: write without lineage")
+    (
+        cdf.sortWithinPartitions("bucket", "sink_id", "conv_id", "turn_idx")
+        .write.mode("append").partitionBy("bucket", "sink_id")
+        .parquet(f"{bare_out}/runs/x")
+    )
+    n_bare = len(sc.statusTracker().getJobIdsForGroup("bare_write"))
+
+    sink_out = str(tmp_path_factory.mktemp("sinked"))
+    sink = SinkSet(out_dir=sink_out)
+    sc.setJobGroup("lineage_write", "write_classified with lineage")
+    lineage = sink.write_classified(cdf, sinks=COMPILED.sink_ids)
+    n_lineage = len(sc.statusTracker().getJobIdsForGroup("lineage_write"))
+    sc.setJobGroup(None, None)
+
+    assert n_lineage == n_bare, (n_lineage, n_bare)
+    # and the footer-derived counts equal a real recount of the files
+    got = sum(e["rows"] for e in lineage.values())
+    assert got == spark.read.parquet(f"{sink_out}/runs/{sink.run_id}").count()
+
+
+def test_sink_cardinality_metrics(spark, fixture_sf_small, tmp_path_factory):
+    """Observation-carried approx_count_distinct(conv_id) per sink is
+    within HLL tolerance (5% rsd -> allow 10%) of the exact count."""
+    out = str(tmp_path_factory.mktemp("card"))
+    pipeline.run(
+        spark,
+        source_path=f"{fixture_sf_small}/transcripts.parquet",
+        out_dir=out, rules_path=RULES, buckets=8,
+    )
+    sink = SinkSet(out_dir=out)
+    approx = {
+        r["sink_id"]: r["n_convs_approx"]
+        for r in sink.sink_cardinality_df(spark).collect()
+    }
+    full = spark.read.parquet(f"{fixture_sf_small}/transcripts.parquet")
+    from logparse_spark.stages import parse_match
+    exact = {
+        r["sink_id"]: r["n"]
+        for r in parse_match(full, COMPILED)
+        .groupBy("sink_id").agg(F.countDistinct("conv_id").alias("n")).collect()
+    }
+    for s, n_exact in exact.items():
+        assert s in approx, s
+        assert abs(approx[s] - n_exact) <= max(2, 0.10 * n_exact), (s, approx[s], n_exact)
