@@ -56,22 +56,24 @@ ENV_GATE = float(os.environ.get("SPARK_GRAFT_ENV_GATE", "0.85"))
 # anything; the oracle-bound operator queries keep rules/default.rules
 BENCH_RULES = os.environ.get("SPARK_GRAFT_RULES", "/root/repo/rules/bench.rules")
 
-# headline suite: name -> registry query (noop-written to force full compute)
+# headline suite: name -> registry query (noop-written to force full
+# compute). Round-2 renames from the registry consolidation:
+# enrich_roles -> enrich_lookup (+ tool dim), fingerprint/token_bpe ->
+# doc_features (one projection), lang_ngram -> lang_id (both heuristics)
 SUITE = [
     "dispatch",
     "dispatch_sql",
     "sink_counts",
     "keyed_counts",
-    "enrich_roles",
+    "enrich_lookup",
     "topk_keys",
     "time_buckets",
     "dedup_exact",
     "minhash_lsh",
     "simhash",
     "token_freq",
-    "fingerprint",
-    "token_bpe",
-    "lang_ngram",
+    "doc_features",
+    "lang_id",
     "ann_cosine",
     "events_windowed",
     "sessionize",

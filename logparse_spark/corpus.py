@@ -133,23 +133,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidates via MinHash + LSH banding.
+_LSH_BUCKET_CAP = 32  # max docs PAIRED per (band, key) — see q_minhash_lsh
+_LSH_SALTS = 16       # first-level salt fan-out for hot band keys
 
-    shingle(word 2-grams) -> 8 minhash lanes -> 4 bands of 2 -> docs
-    sharing any band key are candidates. The O(n^2) all-pairs problem
-    becomes an equi-join on (band, key): shuffle is proportional to
-    docs x bands, not pairs. Skewed band keys (boilerplate dups) are
-    the classic hazard — AQE skew-join handles moderate cases; a salt
-    + cap on bucket size is the 100 TB mitigation.
 
-    Lane construction: the 8 lanes are 32-bit (8-hex-char) slices of
-    just TWO md5 digests per shingle (plain + salted) instead of 8
-    independent digests — md5 bits are independent, so the slices are
-    valid minhash permutations at a quarter of the hashing cost, which
-    dominates this query (hashing runs per exploded shingle row).
-    md5 hex is identical in both engines, so the oracle slices the
-    same digests."""
+def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, b, k): the 4 LSH band keys per document.
+
+    Lane construction: the 8 minhash lanes are 32-bit (8-hex-char)
+    slices of just TWO md5 digests per shingle (plain + salted)
+    instead of 8 independent digests — md5 bits are independent, so
+    the slices are valid minhash permutations at a quarter of the
+    hashing cost, which dominates (hashing runs per exploded shingle
+    row). md5 hex is identical in both engines, so the oracle slices
+    the same digests."""
     sh = (
         _with_bigrams(_with_words(_docs(spark, sf_dir)))
         .select("doc_id", F.explode("shingles").alias("s"))
@@ -164,7 +161,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("doc_id").agg(
         *[F.min(f"l{j}").alias(f"h{j}") for j in range(8)]
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -178,25 +175,104 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.b", "band.k")
-    a, b = bands.alias("a"), bands.alias("b")
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via MinHash + LSH banding, hot-key safe.
+
+    shingle(word 2-grams) -> 8 minhash lanes -> 4 bands of 2 -> docs
+    sharing any band key are candidates. The O(n^2) all-pairs problem
+    becomes per-band-key pair generation: shuffle is proportional to
+    docs x bands, not pairs.
+
+    Hot band keys (boilerplate near-identical docs collapse to ONE
+    key) are the classic hazard: a naive self-join on (b, k) is
+    O(df^2) rows on that single key. Two mitigations, both mirrored
+    in the oracle:
+
+    1. CAP: each band bucket pairs only its _LSH_BUCKET_CAP smallest
+       doc_ids (deterministic truncation). A mega-bucket IS a
+       duplicate cluster — cap^2 candidate pairs are enough to glue
+       its members into one connected component for dedup_groups
+       (the cap keeps the min doc_id, so every retained member links
+       toward the cluster minimum); emitting df^2 pairs adds no
+       information.
+    2. SALT: the cap is computed in two levels — groupBy (b, k,
+       xxhash64(doc_id) % _LSH_SALTS) keeps the cap-smallest ids per
+       salt, then merges per (b, k) — so no single task ever
+       aggregates a whole hot key (min-k is a semilattice: the
+       two-level result equals the direct smallest-cap set).
+
+    Pairs are then generated from each <=cap id array with a
+    transform/flatten expansion — bounded at cap*(cap-1)/2 per band
+    key, no join at all."""
+    bands = _lsh_bands(spark, sf_dir)
+    lvl1 = (
+        bands.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(_LSH_SALTS))
+        )
+        .groupBy("b", "k", "salt")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("doc_id")), 1, _LSH_BUCKET_CAP
+            ).alias("ids")
+        )
+    )
+    capped = lvl1.groupBy("b", "k").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("ids"))), 1, _LSH_BUCKET_CAP
+        ).alias("ids")
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(
+                    ids,
+                    i + F.lit(2),
+                    F.greatest(F.size(ids) - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.k") == F.col("b.k"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        capped.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
 
+_SHINGLE_DF_CAP = 64  # shingles in more docs than this are boilerplate
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard overlap for same-source doc pairs.
+    """Exact n-gram Jaccard overlap for same-source doc pairs, with a
+    document-frequency cap on the inverted index.
 
     Inverted-index join on the shingle (never a cartesian product):
-    pairs sharing >=1 shingle only. Integer outputs (n_shared, sizes)
-    so jaccard = n_shared/(n_a+n_b-n_shared) is reader-side."""
+    pairs sharing >=1 shingle only. A single high-df shingle (menu
+    boilerplate, legal footer) would make one join key quadratic —
+    O(df^2) pairs on one task — so shingles present in more than
+    _SHINGLE_DF_CAP documents of a source are dropped from BOTH the
+    index and the per-doc sizes before the join (the standard
+    stop-shingle filter: ultra-common shingles carry ~zero Jaccard
+    signal, exactly like stopwords in retrieval). The hot-shingle set
+    is tiny by construction (few keys can exceed the cap), so the
+    anti join broadcasts. Integer outputs (n_shared, sizes) so
+    jaccard = n_shared/(n_a+n_b-n_shared) is reader-side."""
     sh = (
         _with_bigrams(_with_words(_docs(spark, sf_dir)))
         .select("doc_id", "source", F.explode("shingles").alias("s"))
     )
+    hot = (
+        sh.groupBy("source", "s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _SHINGLE_DF_CAP)
+        .select("source", "s")
+    )
+    sh = sh.join(F.broadcast(hot), ["source", "s"], "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -239,56 +315,101 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bit_sums.select("doc_id", fp.cast("long").alias("simhash"))
 
 
-def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate GROUPS from the MinHash candidate pairs: connected
-    components by iterative min-label propagation.
+def connected_components(pairs: DataFrame, max_rounds: int = 50,
+                         stats: dict | None = None) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round algorithm, vs O(component diameter) for naive
+    min-label propagation (a 1M-doc duplicate CHAIN would need 1M
+    rounds under propagation; star contraction needs ~20).
 
-    The step real dedup pipelines need after candidate generation —
-    pairs alone over-remove (A~B, B~C but A!~C must still resolve to
-    one keeper per component). Pure DataFrame iteration: each round
-    every node takes min(own label, neighbours' labels); converges in
-    O(component diameter) rounds. ``localCheckpoint`` truncates the
-    growing lineage each round (the standard Spark iterative-algorithm
-    pattern — without it the plan doubles every iteration). At 100 TB
-    this is the large-star/small-star CC algorithm with the same
-    DataFrame ops; shuffle per round is |edges|, and candidate
-    components from near-dup detection are tiny-diameter, so rounds
-    stay in single digits."""
-    pairs = q_minhash_lsh(spark, sf_dir)
+    pairs: (doc_a, doc_b) undirected candidate edges, doc_a != doc_b.
+    Returns (doc_id, group_root) with group_root = component minimum.
+
+    Per round, over the symmetric edge list:
+      large-star(u): every strictly-larger neighbor of u re-attaches
+        to m(u) = min(N(u) + {u});
+      small-star(u): every smaller-or-equal neighbor, and u itself,
+        re-attaches to m(u).
+    Both are one groupBy (min per src) + one join — shuffle cost
+    O(|edges|) per round, no collect_list of neighborhoods (hot
+    high-degree nodes never materialize their adjacency in one task).
+    ``localCheckpoint`` truncates the growing lineage each round (the
+    standard Spark iterative pattern). Convergence = edge-set
+    fixpoint, detected by (count, xxhash64 checksum) — both stars map
+    a star graph to itself."""
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("group_root", F.col("doc_id"))
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    while True:
-        prop = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src").agg(F.min("group_root").alias("nbr_root"))
+
+    def star(edges: DataFrame, large: bool) -> DataFrame:
+        mins = (
+            edges.groupBy("src").agg(F.min("dst").alias("mn"))
+            .select("src", F.least("mn", F.col("src")).alias("m"))
         )
-        new = (
-            labels.join(prop, labels.doc_id == prop.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("group_root"),
-                    F.coalesce("nbr_root", F.col("group_root")),
-                ).alias("group_root"),
+        j = edges.join(mins, "src")
+        if large:
+            new = j.filter(F.col("dst") > F.col("src")).select(
+                F.col("dst").alias("a"), F.col("m").alias("b")
             )
-            .localCheckpoint(eager=True)
+        else:
+            new = j.filter(F.col("dst") <= F.col("src")).select(
+                F.col("dst").alias("a"), F.col("m").alias("b")
+            ).union(mins.select(F.col("src").alias("a"), F.col("m").alias("b")))
+        new = new.filter(F.col("a") != F.col("b"))
+        return (
+            new.union(new.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
         )
-        changed = (
-            new.alias("n").join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.group_root") != F.col("o.group_root"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+
+    def fingerprint(edges: DataFrame) -> tuple:
+        # bit_xor (not sum) of the row hashes: order-independent,
+        # distinct edges, and immune to ANSI long-overflow
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = fingerprint(sym)
+    rounds = 0
+    converged = False
+    for _ in range(max_rounds):
+        sym = star(sym, large=True).localCheckpoint(eager=True)
+        sym = star(sym, large=False).localCheckpoint(eager=True)
+        rounds += 1
+        nfp = fingerprint(sym)
+        if nfp == fp:
+            converged = True
             break
-    return labels
+        fp = nfp
+    if stats is not None:
+        # productive rounds: the last iteration only VERIFIES the
+        # fixpoint (edge set unchanged), so it isn't contraction work
+        stats["rounds"] = rounds - 1 if converged else rounds
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach an edge fixpoint in "
+            f"{max_rounds} large/small-star rounds"
+        )
+    labels = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    return labels.select(
+        F.col("src").alias("doc_id"),
+        F.least("mn", F.col("src")).alias("group_root"),
+    )
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUPS from the MinHash candidate pairs: connected
+    components via alternating large-star/small-star contraction (see
+    ``connected_components``). The step real dedup pipelines need
+    after candidate generation — pairs alone over-remove (A~B, B~C
+    but A!~C must still resolve to one keeper per component)."""
+    return connected_components(q_minhash_lsh(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -580,19 +701,26 @@ def q_users_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (blocked self-join).
 
-    Blocking key = label (at scale: an LSH bucket / IVF cell) bounds
-    the quadratic self-join; exact double-precision cosine + threshold
-    inside each block. One shuffle on the blocking key."""
-    emb = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("label"),
+    Blocking key = the 6-bit random-hyperplane LSH bucket (the SAME
+    signature the ann_lsh index uses) — derived from the vectors
+    alone, so the block works on a real unlabeled corpus. (Round 1
+    blocked on the fixture's ground-truth ``label`` column, which a
+    production corpus doesn't have.) Cosine-similar vectors land in
+    the same bucket with high probability, the bucket bounds the
+    quadratic self-join at ~n/64 per block, and the exact
+    double-precision cosine + threshold runs inside each block only.
+    One shuffle on the blocking key; more recall = union several
+    independent signatures (LSH banding), same plan shape."""
+    emb = _emb(spark, sf_dir).withColumn("bucket", _lsh_bucket_col())
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("bucket"),
                    F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label"),
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("bucket"),
                    F.col("embedding").alias("eb"))
-    j = a.join(b, ["label"]).filter(F.col("vec_a") < F.col("vec_b"))
+    j = a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
     return (
         j.withColumn("sim_r", _cosine_col("ea", "eb"))
         .filter(F.col("sim_r") >= 0.35)
-        .select("vec_a", "vec_b", "label", "sim_r")
+        .select("vec_a", "vec_b", "bucket", "sim_r")
     )
 
 
@@ -684,6 +812,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracles
 # ---------------------------------------------------------------------------
 
+# cap mirror of q_minhash_lsh: only the _LSH_BUCKET_CAP smallest doc_ids
+# of each (band, key) participate in pair generation
+_BANDS_CAPPED = f"""
+    SELECT doc_id, b, k FROM (
+      SELECT doc_id, b, k,
+             row_number() OVER (PARTITION BY b, k ORDER BY doc_id) AS rn
+      FROM bands
+    ) WHERE rn <= {_LSH_BUCKET_CAP}
+"""
+
+
 def corpus_oracles() -> dict[str, str]:
     words_cte = f"SELECT doc_id, source, lang, text, {_WORDS_DUCK} AS ws FROM documents"
     sh_cte = (
@@ -711,11 +850,15 @@ def corpus_oracles() -> dict[str, str]:
 
     return {
         "dedup_embed": f"""
-            SELECT vec_a, vec_b, label, sim_r FROM (
-              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+            WITH bkt AS (
+              SELECT e.vec_id, e.embedding, {bucket_e} AS bucket
+              FROM embeddings e
+            )
+            SELECT vec_a, vec_b, bucket, sim_r FROM (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
                      round({sim_ab}, 6) AS sim_r
-              FROM embeddings a JOIN embeddings b
-                ON a.label = b.label AND a.vec_id < b.vec_id
+              FROM bkt a JOIN bkt b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             ) WHERE sim_r >= 0.35
         """,
         "dedup_exact": """
@@ -726,18 +869,20 @@ def corpus_oracles() -> dict[str, str]:
         "minhash_lsh": f"""
             WITH sh AS ({sh_cte}),
             sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
-            bands AS ({band_selects})
+            bands AS ({band_selects}),
+            capped AS ({_BANDS_CAPPED})
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
+            FROM capped a JOIN capped b
               ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
         """,
         "dedup_groups": f"""
             WITH RECURSIVE sh AS ({sh_cte}),
             sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
             bands AS ({band_selects}),
+            capped AS ({_BANDS_CAPPED}),
             pairs AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b
+              FROM capped a JOIN capped b
                 ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
             ),
             edges AS (
@@ -755,7 +900,14 @@ def corpus_oracles() -> dict[str, str]:
             FROM reach GROUP BY doc
         """,
         "jaccard_pairs": f"""
-            WITH sh AS ({sh_cte}),
+            WITH sh0 AS ({sh_cte}),
+            sh AS (
+              SELECT sh0.* FROM sh0
+              JOIN (
+                SELECT source, s FROM sh0 GROUP BY source, s
+                HAVING count(*) <= {_SHINGLE_DF_CAP}
+              ) ok USING (source, s)
+            ),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             pairs AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
@@ -787,62 +939,51 @@ def corpus_oracles() -> dict[str, str]:
               CAST({" + ".join(f"(CASE WHEN w{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(16))} AS BIGINT) AS simhash
             FROM bits
         """,
-        "doc_quality": f"""
+        "doc_features": f"""
             SELECT doc_id,
-                   len({_WORDS_DUCK}) AS n_tokens,
-                   length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS n_alnum,
-                   length(text) AS text_len
-            FROM documents
-        """,
-        "lang_stopword": f"""
-            SELECT doc_id, lang,
-                   len(list_filter(ws, w -> w IN ('the','a','of','and'))) AS n_en_stop,
                    len(ws) AS n_tokens,
-                   CASE WHEN len(list_filter(ws, w -> w IN ('the','a','of','and'))) * 12
-                             >= len(ws) THEN 1 ELSE 0 END AS guess_en
-            FROM ({words_cte})
-        """,
-        "token_freq": f"""
-            SELECT word, count(*) AS n FROM (
-              SELECT unnest(ws) AS word FROM ({words_cte})
-            ) GROUP BY word
-        """,
-        "fingerprint": f"""
-            SELECT doc_id,
+                   length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS n_alnum,
+                   length(text) AS text_len,
                    CAST(COALESCE(list_sum(list_transform(
                           range(1, len(ws) + 1),
                           i -> i * (131 * length(ws[i])
                                     + 31 * ascii(ws[i][1])
                                     + ascii(ws[i][-1])))), 0)
-                        % 2147483647 AS BIGINT) AS fp
-            FROM ({words_cte})
-        """,
-        "token_bpe": """
-            SELECT doc_id,
+                        % 2147483647 AS BIGINT) AS fp,
                    len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha,
                    len(regexp_extract_all(text, '[0-9]+')) AS n_num,
                    len(regexp_extract_all(lower(text), '[^a-z0-9 ]+')) AS n_other,
                    len(regexp_extract_all(lower(text), '[a-z]+'))
                    + len(regexp_extract_all(text, '[0-9]+'))
                    + len(regexp_extract_all(lower(text), '[^a-z0-9 ]+')) AS n_bpe
-            FROM documents
+            FROM ({words_cte})
+        """,
+        "lang_id": f"""
+            WITH x AS (
+              SELECT doc_id, lang, text, lower(text) AS lt, ws
+              FROM ({words_cte})
+            )
+            SELECT doc_id, lang,
+                   len(list_filter(ws, w -> w IN ('the','a','of','and'))) AS n_en_stop,
+                   len(ws) AS n_tokens,
+                   CASE WHEN len(list_filter(ws, w -> w IN ('the','a','of','and'))) * 12
+                             >= len(ws) THEN 1 ELSE 0 END AS guess_sw,
+                   CAST({" + ".join(f"(length(lt) - length(replace(lt, '{g}', ''))) / 3" for g in _TRIGRAMS)} AS BIGINT) AS n_tri_hits,
+                   length(text) AS text_len,
+                   CASE WHEN CAST({" + ".join(f"(length(lt) - length(replace(lt, '{g}', ''))) / 3" for g in _TRIGRAMS)} AS BIGINT) * 50
+                             >= length(text) THEN 1 ELSE 0 END AS guess_ng
+            FROM x
+        """,
+        "token_freq": f"""
+            SELECT word, count(*) AS n FROM (
+              SELECT unnest(ws) AS word FROM ({words_cte})
+            ) GROUP BY word
         """,
         "len_quantiles": """
             SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
                    round(quantile_cont(n_chars, 0.95), 4) AS p95,
                    count(*) AS n
             FROM documents GROUP BY lang
-        """,
-        "lang_ngram": f"""
-            WITH x AS (
-              SELECT doc_id, lang, text, lower(text) AS lt FROM documents
-            )
-            SELECT doc_id, lang,
-                   CAST({" + ".join(f"(length(lt) - length(replace(lt, '{g}', ''))) / 3" for g in _TRIGRAMS)} AS BIGINT) AS n_tri_hits,
-                   length(text) AS text_len,
-                   CASE WHEN CAST({" + ".join(f"(length(lt) - length(replace(lt, '{g}', ''))) / 3" for g in _TRIGRAMS)} AS BIGINT) * 50
-                             >= length(text) THEN 1 ELSE 0 END AS guess_en
-            FROM x
         """,
         "ann_cosine": f"""
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -855,7 +996,8 @@ def corpus_oracles() -> dict[str, str]:
               FROM scored
             ) WHERE rk <= 10
         """,
-        "ann_lsh": f"""
+        "ann_bucketed": f"""
+            SELECT 'lsh' AS method, rk, vec_id, sim_r FROM (
             WITH b AS (SELECT e.vec_id, e.embedding, {bucket_e} AS bucket
                        FROM embeddings e),
             q AS (SELECT e.embedding AS qe, {bucket_e} AS qbucket
@@ -869,8 +1011,9 @@ def corpus_oracles() -> dict[str, str]:
               SELECT *, row_number() OVER (ORDER BY sim_r DESC, vec_id) AS rk
               FROM scored
             ) WHERE rk <= 5
-        """,
-        "ann_ivf": f"""
+            )
+            UNION ALL
+            SELECT 'ivf' AS method, rk, vec_id, sim_r FROM (
             WITH cents AS (
               SELECT vec_id AS cid, embedding AS ce FROM embeddings
               WHERE vec_id < 4
@@ -906,6 +1049,7 @@ def corpus_oracles() -> dict[str, str]:
               SELECT *, row_number() OVER (ORDER BY sim_r DESC, vec_id) AS rk
               FROM scored
             ) WHERE rk <= 5
+            )
         """,
         "users_no_purchase": """
             WITH e AS (
@@ -956,6 +1100,88 @@ def corpus_oracles() -> dict[str, str]:
         "asof_clicks": _ASOF_ORACLE,
         "range_join_events": _RANGE_JOIN_ORACLE,
     }
+
+
+# ---------------------------------------------------------------------------
+# Merged registry entries (driver checks the first 50 registry entries;
+# same-shape per-doc queries widen into one projection, the bucketed ANN
+# variants union under a method tag — identical operator plans, fewer
+# registry slots; see queries.py for the pipeline-side merges).
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID: BOTH heuristics in one narrow projection — English
+    stopword density over tokens (guess_sw) and character-trigram hit
+    density (guess_ng). One pass over text, all JVM-side."""
+    df = _with_words(_docs(spark, sf_dir)).withColumn("lt", F.lower("text"))
+    n_stop = F.size(F.filter(F.col("ws"), lambda w: w.isin("the", "a", "of", "and")))
+    hit_terms = [
+        (F.length("lt") - F.length(F.expr(f"replace(lt, '{g}', '')"))) / 3
+        for g in _TRIGRAMS
+    ]
+    n_hits = hit_terms[0]
+    for term in hit_terms[1:]:
+        n_hits = n_hits + term
+    return df.select(
+        "doc_id", "lang",
+        n_stop.cast("long").alias("n_en_stop"),
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.when(n_stop * 12 >= F.size("ws"), F.lit(1)).otherwise(F.lit(0))
+        .alias("guess_sw"),
+        n_hits.cast("long").alias("n_tri_hits"),
+        F.length("text").cast("long").alias("text_len"),
+        F.when(n_hits.cast("long") * 50 >= F.length("text"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("guess_ng"),
+    )
+
+
+def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document feature vector in ONE narrow map stage: quality
+    signals (token count, alnum mass, raw length), the rolling-hash
+    fingerprint, and the BPE-ish pre-tokenizer run counts. The merged
+    projection is the realistic shape anyway — a curation pipeline
+    materializes one feature table, not five."""
+    df = _with_words(_docs(spark, sf_dir))
+    contrib = F.transform(
+        F.col("ws"),
+        lambda w, i: (i + F.lit(1)).cast("long")
+        * (
+            F.length(w).cast("long") * 131
+            + F.ascii(F.substring(w, 1, 1)).cast("long") * 31
+            + F.ascii(F.substring(w, -1, 1)).cast("long")
+        ),
+    )
+    fp = F.aggregate(contrib, F.lit(0).cast("long"), lambda a, x: a + x)
+    n_alpha = F.expr("size(regexp_extract_all(lower(text), '[a-z]+', 0))")
+    n_num = F.expr("size(regexp_extract_all(text, '[0-9]+', 0))")
+    n_other = F.expr("size(regexp_extract_all(lower(text), '[^a-z0-9 ]+', 0))")
+    return df.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""))
+        .cast("long").alias("n_alnum"),
+        F.length("text").cast("long").alias("text_len"),
+        (fp % F.lit(2147483647)).cast("long").alias("fp"),
+        n_alpha.cast("long").alias("n_alpha"),
+        n_num.cast("long").alias("n_num"),
+        n_other.cast("long").alias("n_other"),
+        (n_alpha + n_num + n_other).cast("long").alias("n_bpe"),
+    )
+
+
+def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both bucketed ANN scale paths, tagged union: 6-bit hyperplane
+    LSH (method='lsh') and IVF coarse-quantizer nprobe=2
+    (method='ivf'), each an exact top-5 re-rank inside its probed
+    bucket(s) only."""
+    lsh = q_ann_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "rk", "vec_id", "sim_r"
+    )
+    ivf = q_ann_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "rk", "vec_id", "sim_r"
+    )
+    return lsh.unionByName(ivf)
 
 
 def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1212,16 +1438,12 @@ CORPUS_QUERIES = {
     "dedup_groups": q_dedup_groups,
     "jaccard_pairs": q_jaccard_pairs,
     "simhash": q_simhash,
-    "doc_quality": q_doc_quality,
-    "lang_stopword": q_lang_stopword,
+    "doc_features": q_doc_features,
+    "lang_id": q_lang_id,
     "token_freq": q_token_freq,
-    "fingerprint": q_fingerprint,
-    "token_bpe": q_token_bpe,
-    "lang_ngram": q_lang_ngram,
     "len_quantiles": q_len_quantiles,
     "ann_cosine": q_ann_cosine,
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
+    "ann_bucketed": q_ann_bucketed,
     "users_no_purchase": q_users_no_purchase,
     "multimodal_features": q_multimodal_features,
     "events_windowed": q_events_windowed,

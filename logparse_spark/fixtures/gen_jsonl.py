@@ -22,14 +22,18 @@ def jsonl_fixture_path(sf: str) -> str:
     return os.path.join(ensure_fixture(sf), "transcripts.jsonl")
 
 
-def ensure_jsonl_fixture(sf: str) -> str:
-    """Idempotently materialize the JSONL export; returns the path."""
+def ensure_jsonl_fixture(sf: str, out_path: str | None = None) -> str:
+    """Idempotently materialize the JSONL export; returns the path.
+
+    ``out_path`` redirects the (unconditional) write elsewhere — used
+    by determinism tests so they never delete the shared fixture out
+    from under a parallel test run."""
     import pyarrow.parquet as pq
 
     d = ensure_fixture(sf)
-    path = jsonl_fixture_path(sf)
+    path = out_path or jsonl_fixture_path(sf)
     marker = path + "._COMPLETE"
-    if os.path.exists(marker):
+    if out_path is None and os.path.exists(marker):
         return path
     tbl = pq.read_table(os.path.join(d, "transcripts.parquet"))
     cols = tbl.to_pydict()

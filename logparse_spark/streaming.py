@@ -100,6 +100,36 @@ def run_stream(
     return q
 
 
+SINK_LAYOUT = "batch_id/sink_id/v1"
+
+
+def _check_sink_layout(out_dir: str) -> None:
+    """Refuse to append a new layout into an old-layout stream sink."""
+    root = os.path.join(out_dir, "routed")
+    marker = os.path.join(root, "_LAYOUT")
+    if os.path.isfile(marker):
+        with open(marker, encoding="utf-8") as f:
+            found = f.read().strip()
+        if found != SINK_LAYOUT:
+            raise RuntimeError(
+                f"stream sink {root} was written with layout {found!r}; "
+                f"this writer produces {SINK_LAYOUT!r} — clear the sink "
+                f"(and its checkpoint) before resuming"
+            )
+        return
+    if os.path.isdir(root) and any(
+        e for e in os.listdir(root) if not e.startswith(("_", "."))
+    ):
+        raise RuntimeError(
+            f"stream sink {root} has data but no _LAYOUT marker (written "
+            f"by a pre-versioning build) — clear the sink (and its "
+            f"checkpoint) before resuming with this writer"
+        )
+    os.makedirs(root, exist_ok=True)
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write(SINK_LAYOUT + "\n")
+
+
 def make_batch_writer(compiled: CompiledRules, out_dir: str, engine: str = "udf"):
     """Build the foreachBatch function: parse -> route -> fan-out write.
 
@@ -110,7 +140,17 @@ def make_batch_writer(compiled: CompiledRules, out_dir: str, engine: str = "udf"
     A retry replaces identical data in place and the sink stays
     exactly-once end-to-end — the streaming analogue of the batch
     manifest commit protocol in sinks.py. Readers just scan
-    `<out>/routed` (batch_id and sink_id become partition columns)."""
+    `<out>/routed` (batch_id and sink_id become partition columns).
+
+    LAYOUT VERSIONING: the sink root is ``routed`` with per-batch
+    subdirectories. The layout changed once pre-release (flat
+    ``sink_id=...`` -> ``batch_id=N/sink_id=...``); a stream resumed
+    from an old checkpoint over an old-layout sink would leave mixed
+    partition depths, which Spark's partition discovery rejects. A
+    marker file pins the layout: mismatch (or an unmarked non-empty
+    sink) fails fast at writer build time with a clear message instead
+    of a confusing discovery error mid-stream."""
+    _check_sink_layout(out_dir)
 
     def process_batch(df: DataFrame, batch_id: int) -> None:
         cdf = stages.parse_match(df, compiled, engine=engine)

@@ -36,6 +36,15 @@ MATCH_SCHEMA = T.StructType(
 
 MATCH_COLUMNS = ["rule_id", "rule_name", "action", "sink_id", "count_key", "rendered"]
 
+# slim struct + the P3 capture array ({1}..{n} regex groups, per rule)
+CAPTURES_SCHEMA = T.StructType(
+    [
+        T.StructField("rule_id", T.IntegerType(), True),
+        T.StructField("rendered", T.StringType(), True),
+        T.StructField("captures", T.ArrayType(T.StringType()), True),
+    ]
+)
+
 
 def make_parse_and_match_udf(compiled: CompiledRules):
     """Build the scalar pandas UDF. The compiled plan (a few small regex
@@ -163,6 +172,34 @@ def with_match_arrow(df: DataFrame, compiled: CompiledRules,
                      text_col: str = "text", tool_col: str = "tool") -> DataFrame:
     """df + MATCH_COLUMNS via the scalar Arrow UDF (default engine)."""
     udf = make_parse_and_match_arrow_udf(compiled)
+    return _finish_match(df, compiled, udf(F.col(text_col), F.col(tool_col)))
+
+
+def make_parse_and_match_captures_udf(compiled: CompiledRules):
+    """Scalar pandas UDF emitting the slim struct PLUS the raw capture
+    array (list<string> of regex groups {1}..{n} of the winning rule,
+    null for unmatched rows and group-less rules). This is the
+    non-slim kernel path (kernel.parse_and_match_pandas slim=False):
+    the default pipeline never ships captures across the boundary
+    because the rendered template already folds them in, but the raw
+    array is part of the P3 operator surface — consumers that want
+    their own formatting get the groups, not our rendering."""
+    rules_source = compiled.source_text
+
+    @F.pandas_udf(CAPTURES_SCHEMA)
+    def parse_and_match_caps(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
+        plan = _worker_plan(rules_source)
+        out = parse_and_match_pandas(text, tool, plan)
+        return out[["rule_id", "rendered", "captures"]]
+
+    # same dedup-barrier rationale as make_parse_and_match_udf
+    return parse_and_match_caps.asNondeterministic()
+
+
+def with_match_captures(df: DataFrame, compiled: CompiledRules,
+                        text_col: str = "text", tool_col: str = "tool") -> DataFrame:
+    """df + MATCH_COLUMNS + ``captures`` (the {n} array, end to end)."""
+    udf = make_parse_and_match_captures_udf(compiled)
     return _finish_match(df, compiled, udf(F.col(text_col), F.col(tool_col)))
 
 

@@ -1,0 +1,164 @@
+"""Scale-hazard regression tests for the corpus dedup operators.
+
+Round-2 items from the round-1 review: hot LSH band keys and high-df
+shingles must stay bounded (no quadratic blowup on one key), and
+connected components must converge in O(log n) rounds, not
+O(component diameter).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from logparse_spark import corpus
+
+
+def _write_documents(spark, tmp_path, texts, source="web"):
+    rows = [
+        (i, t, "en", source, len(t)) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def _oracle_con(sf_dir):
+    con = duckdb.connect()
+    # Spark writes documents.parquet as a directory of part files
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+def _norm(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return sorted(map(str, pdf.itertuples(index=False, name=None)))
+
+
+# ---------------------------------------------------------------------------
+# connected components: large-star/small-star
+# ---------------------------------------------------------------------------
+
+def test_cc_chain_converges_logarithmically(spark):
+    """A 64-node PATH is the worst case for min-label propagation
+    (diameter 63 -> 63 rounds); star contraction must finish in
+    ~log2(64) rounds."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    stats = {}
+    labels = corpus.connected_components(pairs, max_rounds=10, stats=stats)
+    got = {r["doc_id"]: r["group_root"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(64)}
+    assert stats["rounds"] <= 6, stats  # log2(64) contraction rounds
+
+
+def test_cc_matches_union_find(spark):
+    """Random-ish multi-component graph vs a driver-side union-find."""
+    import random
+
+    rng = random.Random(7)
+    edges = set()
+    for comp in range(8):  # 8 components of 12 nodes with random extra edges
+        base = comp * 100
+        nodes = [base + i for i in range(12)]
+        for i in range(11):  # spanning path
+            edges.add((nodes[i], nodes[i + 1]))
+        for _ in range(6):
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {}
+    for n in list(parent):
+        root = find(n)
+        want.setdefault(root, []).append(n)
+    want_labels = {n: min(ns) for ns in want.values() for n in ns}
+
+    pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["group_root"]
+        for r in corpus.connected_components(pairs).collect()
+    }
+    assert got == want_labels
+
+
+# ---------------------------------------------------------------------------
+# minhash_lsh: hot band keys stay bounded
+# ---------------------------------------------------------------------------
+
+def test_minhash_hot_band_key_capped(spark, tmp_path):
+    """200 identical documents collapse to ONE band key per band — the
+    classic boilerplate mega-bucket. The capped pair generation must
+    emit exactly C(cap, 2) pairs (the cap smallest doc_ids), not
+    C(200, 2) = 19900, and must still agree with the DuckDB oracle
+    (which mirrors the cap)."""
+    texts = ["all rights reserved legal footer menu home about contact"] * 200
+    d = _write_documents(spark, tmp_path, texts)
+    got = corpus.q_minhash_lsh(spark, d).toPandas()
+    cap = corpus._LSH_BUCKET_CAP
+    assert len(got) == cap * (cap - 1) // 2
+    # capped set = the cap smallest ids -> max id seen is cap-1
+    assert got[["doc_a", "doc_b"]].to_numpy().max() == cap - 1
+    want = _oracle_con(d).execute(corpus.corpus_oracles()["minhash_lsh"]).fetchdf()
+    assert _norm(got) == _norm(want)
+
+
+def test_minhash_dup_cluster_still_groups_through_cap(spark, tmp_path):
+    """The cap keeps the bucket MINIMUM, so every retained member still
+    links toward the cluster root and dedup_groups resolves the whole
+    boilerplate cluster... for the retained members; verify the capped
+    pairs form one component rooted at doc 0."""
+    texts = ["identical boilerplate page body text here"] * 100
+    d = _write_documents(spark, tmp_path, texts)
+    labels = corpus.connected_components(corpus.q_minhash_lsh(spark, d)).toPandas()
+    assert set(labels["group_root"]) == {0}
+
+
+# ---------------------------------------------------------------------------
+# jaccard_pairs: document-frequency cap
+# ---------------------------------------------------------------------------
+
+def test_jaccard_df_cap_drops_boilerplate(spark, tmp_path):
+    """100 docs whose ONLY overlap is a shared footer: with df(footer
+    shingles) = 100 > cap, the footer is dropped from the index and no
+    pair survives — instead of C(100, 2) pairs through one hot key.
+    The DuckDB oracle mirrors the cap bit-for-bit."""
+    texts = [
+        f"unique{i} content{i} wording{i} all rights reserved footer"
+        for i in range(100)
+    ]
+    d = _write_documents(spark, tmp_path, texts)
+    got = corpus.q_jaccard_pairs(spark, d).toPandas()
+    assert len(got) == 0
+    want = _oracle_con(d).execute(corpus.corpus_oracles()["jaccard_pairs"]).fetchdf()
+    assert _norm(got) == _norm(want)
+
+
+def test_jaccard_below_cap_unaffected(spark, tmp_path):
+    """Control: the same shared footer across only 10 docs (df < cap)
+    still pairs every doc with every other — the cap only bites
+    boilerplate-frequency shingles."""
+    texts = [
+        f"unique{i} content{i} wording{i} all rights reserved footer"
+        for i in range(10)
+    ]
+    d = _write_documents(spark, tmp_path, texts)
+    got = corpus.q_jaccard_pairs(spark, d).toPandas()
+    assert len(got) == 10 * 9 // 2
+    want = _oracle_con(d).execute(corpus.corpus_oracles()["jaccard_pairs"]).fetchdf()
+    assert _norm(got) == _norm(want)

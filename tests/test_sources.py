@@ -67,13 +67,16 @@ def test_jsonl_fixture_deterministic_and_parses(spark):
 
     from logparse_spark.fixtures.gen_jsonl import ensure_jsonl_fixture
 
+    import tempfile
+
     p = ensure_jsonl_fixture("0.001")
     h1 = hashlib.md5(open(p, "rb").read()).hexdigest()
-    os.remove(p)
-    os.remove(p + "._COMPLETE")
-    p2 = ensure_jsonl_fixture("0.001")
-    h2 = hashlib.md5(open(p2, "rb").read()).hexdigest()
-    assert p == p2 and h1 == h2
+    # regenerate into a throwaway path: determinism is verified without
+    # deleting the shared fixture under a parallel runner
+    with tempfile.TemporaryDirectory() as td:
+        p2 = ensure_jsonl_fixture("0.001", out_path=os.path.join(td, "t.jsonl"))
+        h2 = hashlib.md5(open(p2, "rb").read()).hexdigest()
+    assert h1 == h2
 
     jdf = sources.read_raw_jsonl(spark, p)
     pdf = spark.read.parquet(os.path.join(os.path.dirname(p), "transcripts.parquet"))
