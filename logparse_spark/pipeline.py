@@ -148,36 +148,60 @@ def render_report(
     compiled: CompiledRules,
     max_lines_per_rule: int = 20,
 ) -> str:
-    """Driver-side render of the final summary (small data by then)."""
+    """Driver-side render of the final summary.
+
+    TWO jobs total over the routed table, independent of rule count
+    (round 1 ran two filtered jobs PER rule): one ranked keyed-count
+    pass for every count rule at once, one ranked sample pass for
+    every report rule at once — each a window partitioned by
+    rule_name, so per-rule top-k comes out of a single shuffle.
+    Totals come from the manifest lineage (no job at all)."""
+    from pyspark.sql.window import Window
+
     sink = SinkSet(out_dir=out_dir)
-    lineage = sink.lineage_df(spark)
-    totals = {
-        r["sink_id"]: r["n"]
-        for r in lineage.groupBy("sink_id").agg(F.sum("rows").alias("n")).collect()
-    }
+    totals: dict[str, int] = {}
+    for r in sink.lineage_df(spark).collect():
+        totals[r["sink_id"]] = totals.get(r["sink_id"], 0) + int(r["rows"])
     routed = sink.read_routed(spark)
+
+    count_rules = [r.spec.name for r in compiled.rules if r.spec.action == "count"]
+    report_rules = [r.spec.name for r in compiled.rules if r.spec.action == "report"]
+
+    keyed_by_rule: dict[str, list] = {}
+    if count_rules:
+        w = Window.partitionBy("rule_name").orderBy(F.desc("n"), "count_key")
+        rows = (
+            routed.filter(F.col("rule_name").isin(count_rules))
+            .groupBy("rule_name", "count_key").agg(F.count("*").alias("n"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= max_lines_per_rule)
+            .collect()
+        )
+        for r in sorted(rows, key=lambda r: (r["rule_name"], r["rk"])):
+            keyed_by_rule.setdefault(r["rule_name"], []).append(r)
+
+    sample_by_rule: dict[str, list] = {}
+    if report_rules:
+        w = Window.partitionBy("rule_name").orderBy("conv_id", "turn_idx")
+        rows = (
+            routed.filter(F.col("rule_name").isin(report_rules))
+            .select("rule_name", "conv_id", "turn_idx", "rendered")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= max_lines_per_rule)
+            .collect()
+        )
+        for r in sorted(rows, key=lambda r: (r["rule_name"], r["rk"])):
+            sample_by_rule.setdefault(r["rule_name"], []).append(r)
+
     lines = ["LogParse-Spark summary", "======================", ""]
     for rule in compiled.rules:
         n = totals.get(rule.sink_id, 0)
         lines.append(f"rule {rule.spec.name} ({rule.spec.action}): {n} matches")
         if rule.spec.action == "count":
-            keyed = (
-                routed.filter(F.col("rule_name") == rule.spec.name)
-                .groupBy("count_key").count()
-                .orderBy(F.desc("count"), "count_key")
-                .limit(max_lines_per_rule)
-                .collect()
-            )
-            for r in keyed:
-                lines.append(f"  {r['count_key']}: {r['count']}")
+            for r in keyed_by_rule.get(rule.spec.name, []):
+                lines.append(f"  {r['count_key']}: {r['n']}")
         elif rule.spec.action == "report":
-            sample = (
-                routed.filter(F.col("rule_name") == rule.spec.name)
-                .orderBy("conv_id", "turn_idx")
-                .limit(max_lines_per_rule)
-                .collect()
-            )
-            for r in sample:
+            for r in sample_by_rule.get(rule.spec.name, []):
                 lines.append(f"  {r['rendered']}")
         lines.append("")
     lines.append(f"unmatched: {totals.get('unmatched', 0)}")
