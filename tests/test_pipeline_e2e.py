@@ -270,3 +270,22 @@ def test_sink_cardinality_metrics(spark, fixture_sf_small, tmp_path_factory):
     for s, n_exact in exact.items():
         assert s in approx, s
         assert abs(approx[s] - n_exact) <= max(2, 0.10 * n_exact), (s, approx[s], n_exact)
+
+
+def test_read_routed_prunes_bucket_partitions(spark, fixture_sf_small, tmp_path_factory):
+    """`bucket` is now a write-partition column: reading a committed
+    subset of buckets must PRUNE directories at scan planning (the
+    Iceberg bucket-partition behavior), not scan-and-filter."""
+    out = str(tmp_path_factory.mktemp("prune"))
+    pipeline.run(
+        spark,
+        source_path=f"{fixture_sf_small}/transcripts.parquet",
+        out_dir=out, rules_path=RULES, buckets=8,
+    )
+    sink = SinkSet(out_dir=out)
+    routed = sink.read_routed(spark).filter(F.col("bucket").isin([1, 3]))
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    # pruned scan reads only the asked-for buckets' rows
+    got_buckets = {r["bucket"] for r in routed.select("bucket").distinct().collect()}
+    assert got_buckets <= {1, 3}
