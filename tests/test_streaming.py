@@ -275,3 +275,32 @@ def test_conversation_progress_stateful(spark, stream_src, tmp_path):
     assert (joined["turns_seen_s"] == joined["turns_seen_b"]).all()
     assert (joined["max_turn_s"] == joined["max_turn_b"]).all()
     assert (joined["routed_s"] == joined["routed_b"]).all()
+
+
+def test_sink_layout_guard(tmp_path):
+    """make_batch_writer refuses a sink written under a different (or
+    unmarked pre-versioning) layout instead of failing later inside
+    Spark partition discovery."""
+    import os
+
+    import pytest
+
+    from logparse_spark import streaming
+    from logparse_spark.rules import load_rules
+
+    compiled = load_rules("/root/repo/rules/default.rules")
+    out = str(tmp_path / "s1")
+    streaming.make_batch_writer(compiled, out)  # fresh dir: writes marker
+    with open(os.path.join(out, "routed", "_LAYOUT")) as f:
+        assert f.read().strip() == streaming.SINK_LAYOUT
+    streaming.make_batch_writer(compiled, out)  # same layout: fine
+
+    with open(os.path.join(out, "routed", "_LAYOUT"), "w") as f:
+        f.write("sink_id/v0\n")
+    with pytest.raises(RuntimeError, match="layout"):
+        streaming.make_batch_writer(compiled, out)
+
+    out2 = str(tmp_path / "s2")
+    os.makedirs(os.path.join(out2, "routed", "sink_id=authfail"))
+    with pytest.raises(RuntimeError, match="_LAYOUT"):
+        streaming.make_batch_writer(compiled, out2)
