@@ -218,6 +218,24 @@ def run_suite(cores: int = CPUS, sf_dir: str = SF_DIR) -> dict:
                 best = min(best, time.monotonic() - t0)
             timings[name] = round(best, 3)
 
+        # amortized rung: the same e2e job at sf1 (6M turns, 10x the
+        # driver sf) — enough rows that job setup stops dominating, so
+        # round-over-round diffs measure throughput, not fixed costs.
+        # First run is UNTIMED warmup (page-cache of the sf1 fixture +
+        # plan JIT: measured 84s cold -> 15s warm for identical work),
+        # then best-of-2 timed. Excluded from the headline suite total.
+        e2e_sf1 = float("inf")
+        n_sf1 = 0
+        for i in range(3):
+            out_dir = _mktemp_out(prefix="bench_sf1_")
+            try:
+                s, n_sf1 = run_pipeline_e2e(spark, "1", out_dir)
+                if i > 0:
+                    e2e_sf1 = min(e2e_sf1, s)
+            finally:
+                shutil.rmtree(out_dir, ignore_errors=True)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split_conf)
+
         total = round(sum(timings.values()), 3)
         # job-independent fixed-work CPU probe (same one the scaling
         # harness gates on): calibrates this reading against hypervisor
@@ -233,6 +251,8 @@ def run_suite(cores: int = CPUS, sf_dir: str = SF_DIR) -> dict:
             "sf": sf_from_dir(sf_dir),
             "n_turns": n_turns,
             "turns_per_sec_e2e": round(n_turns / timings["pipeline_e2e"], 1),
+            "pipeline_e2e_sf1_sec": round(e2e_sf1, 3),
+            "turns_per_sec_e2e_sf1": round(n_sf1 / e2e_sf1, 1),
             "parallelism": cores,
             "cpu_probe_sec": probe_sec,
         }
