@@ -162,3 +162,14 @@ def test_jaccard_below_cap_unaffected(spark, tmp_path):
     assert len(got) == 10 * 9 // 2
     want = _oracle_con(d).execute(corpus.corpus_oracles()["jaccard_pairs"]).fetchdf()
     assert _norm(got) == _norm(want)
+
+
+def test_cc_empty_and_single_edge(spark):
+    """Degenerate inputs: no pairs -> no labels; one pair -> one
+    2-node component rooted at the smaller id."""
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert corpus.connected_components(empty).count() == 0
+    one = spark.createDataFrame([(7, 3)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["group_root"]
+           for r in corpus.connected_components(one).collect()}
+    assert got == {3: 3, 7: 3}

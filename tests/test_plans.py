@@ -211,3 +211,45 @@ def test_one_shuffle_in_pipeline_plan(spark, tpath, fixture_sf_small):
         if "Exchange hashpartitioning" in ln or "Exchange RoundRobin" in ln
     )
     assert n_shuffle == 1, plan
+
+
+def test_dispatch_captures_single_python_stage(spark):
+    """The captures UDF must stay ONE Python stage (the
+    asNondeterministic dedup barrier) + the rule-metadata broadcast."""
+    from logparse_spark import queries
+
+    plan = _plan(queries.q_dispatch_captures(spark, "/root/testdata/sf0.001"))
+    assert plan.count("EvalPython") == 1, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_pairgen_has_no_join(spark):
+    """Round-2 shape: capped per-bucket pair generation replaces the
+    band-key self-join entirely — the plan must contain NO join
+    operator (hot keys can't quadratically explode a join that isn't
+    there)."""
+    from logparse_spark import corpus
+
+    plan = _plan(corpus.q_minhash_lsh(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan, plan
+
+
+def test_enrich_lookup_single_parse_broadcast_only(spark):
+    """The merged two-dimension lookup still parses ONCE (only the role
+    branch needs classification) and joins are broadcast-only."""
+    from logparse_spark import queries
+
+    plan = _plan(queries.q_enrich_lookup(spark, "/root/testdata/sf0.001"))
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_jaccard_df_cap_is_broadcast_anti(spark):
+    """The hot-shingle filter must be a broadcast anti join on the tiny
+    over-cap key set, never a shuffle of the full inverted index."""
+    from logparse_spark import corpus
+
+    plan = _plan(corpus.q_jaccard_pairs(spark, "/root/testdata/sf0.001"))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan
