@@ -133,10 +133,6 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_BUCKET_CAP = 32  # max docs PAIRED per (band, key) — see q_minhash_lsh
-_LSH_SALTS = 16       # first-level salt fan-out for hot band keys
-
-
 def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, b, k): the 4 LSH band keys per document.
 
@@ -181,65 +177,30 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates via MinHash + LSH banding, hot-key safe.
 
     shingle(word 2-grams) -> 8 minhash lanes -> 4 bands of 2 -> docs
-    sharing any band key are candidates. The O(n^2) all-pairs problem
-    becomes per-band-key pair generation: shuffle is proportional to
-    docs x bands, not pairs.
+    sharing any band key are candidates.
 
-    Hot band keys (boilerplate near-identical docs collapse to ONE
-    key) are the classic hazard: a naive self-join on (b, k) is
-    O(df^2) rows on that single key. Two mitigations, both mirrored
-    in the oracle:
+    Pair generation is STAR-SHAPED per band bucket: every member pairs
+    with the bucket MINIMUM doc_id, i.e. a bucket of df docs yields
+    df-1 pairs — linear in bucket size, never the O(df^2) of all-pairs
+    (the classic hot-key hazard: boilerplate near-identical docs
+    collapse to ONE band key; a naive self-join puts df^2 rows on that
+    single key). The star preserves exactly what dedup needs: EVERY
+    bucket member stays connected to the bucket representative, so
+    dedup_groups resolves the whole mega-cluster to one component —
+    no member is ever silently dropped (an earlier capped-truncation
+    design lost members 33+ of a hot bucket from the candidate graph
+    entirely).
 
-    1. CAP: each band bucket pairs only its _LSH_BUCKET_CAP smallest
-       doc_ids (deterministic truncation). A mega-bucket IS a
-       duplicate cluster — cap^2 candidate pairs are enough to glue
-       its members into one connected component for dedup_groups
-       (the cap keeps the min doc_id, so every retained member links
-       toward the cluster minimum); emitting df^2 pairs adds no
-       information.
-    2. SALT: the cap is computed in two levels — groupBy (b, k,
-       xxhash64(doc_id) % _LSH_SALTS) keeps the cap-smallest ids per
-       salt, then merges per (b, k) — so no single task ever
-       aggregates a whole hot key (min-k is a semilattice: the
-       two-level result equals the direct smallest-cap set).
-
-    Pairs are then generated from each <=cap id array with a
-    transform/flatten expansion — bounded at cap*(cap-1)/2 per band
-    key, no join at all."""
+    Plan shape: the bucket minimum is one partial+final min aggregate
+    on (b, k); attaching it back is an equi-join whose output is
+    linear in the input (AQE's skew-join splits the one hot key's
+    input if needed). No quadratic operator exists in the plan."""
     bands = _lsh_bands(spark, sf_dir)
-    lvl1 = (
-        bands.withColumn(
-            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(_LSH_SALTS))
-        )
-        .groupBy("b", "k", "salt")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list("doc_id")), 1, _LSH_BUCKET_CAP
-            ).alias("ids")
-        )
-    )
-    capped = lvl1.groupBy("b", "k").agg(
-        F.slice(
-            F.array_sort(F.flatten(F.collect_list("ids"))), 1, _LSH_BUCKET_CAP
-        ).alias("ids")
-    )
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(
-                    ids,
-                    i + F.lit(2),
-                    F.greatest(F.size(ids) - i - 1, F.lit(0)),
-                ),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    mins = bands.groupBy("b", "k").agg(F.min("doc_id").alias("doc_a"))
     return (
-        capped.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        bands.join(mins, ["b", "k"])
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
         .distinct()
     )
 
@@ -416,33 +377,6 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis
 # ---------------------------------------------------------------------------
 
-def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-scoring signals: token count, alnum mass, raw length.
-
-    All JVM-side regexp (whole-stage codegen), no Python."""
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.expr(f"size({_WORDS})").cast("long").alias("n_tokens"),
-        F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")).cast("long").alias("n_alnum"),
-        F.length("text").cast("long").alias("text_len"),
-    )
-
-
-def q_lang_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic: English stopword density over tokens."""
-    df = _with_words(_docs(spark, sf_dir))
-    n_stop = F.size(F.filter(F.col("ws"), lambda w: w.isin("the", "a", "of", "and")))
-    df = df.select(
-        "doc_id", "lang",
-        n_stop.cast("long").alias("n_en_stop"),
-        F.size("ws").cast("long").alias("n_tokens"),
-    )
-    return df.withColumn(
-        "guess_en",
-        F.when(F.col("n_en_stop") * 12 >= F.col("n_tokens"), F.lit(1)).otherwise(F.lit(0)),
-    )
-
-
 def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequency (the BPE-prep histogram): explode + count."""
     return (
@@ -450,47 +384,6 @@ def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("ws").alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
-    )
-
-
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: position-weighted rolling hash over tokens.
-
-    contribution_i = (i+1) * (131*len(w) + 31*ascii(first) + ascii(last));
-    fp = sum(contribution) mod 2^31-1. Pure int64 arithmetic, computed
-    with array transform+aggregate entirely JVM-side (codegen) — the
-    100 TB shape of content-defined chunking / shift-resistant dedup
-    keys. No shuffle at all: one narrow map stage."""
-    df = _with_words(_docs(spark, sf_dir))
-    contrib = F.transform(
-        F.col("ws"),
-        lambda w, i: (i + F.lit(1)).cast("long")
-        * (
-            F.length(w).cast("long") * 131
-            + F.ascii(F.substring(w, 1, 1)).cast("long") * 31
-            + F.ascii(F.substring(w, -1, 1)).cast("long")
-        ),
-    )
-    fp = F.aggregate(contrib, F.lit(0).cast("long"), lambda a, x: a + x)
-    return df.select(
-        "doc_id", (fp % F.lit(2147483647)).cast("long").alias("fp")
-    )
-
-
-def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish pre-tokenizer counts: alpha runs / digit runs / symbol
-    runs per doc (the GPT-2-style split classes, minus escape-dialect
-    hazards: every char class is literal in both engines)."""
-    df = _docs(spark, sf_dir)
-    n_alpha = F.expr("size(regexp_extract_all(lower(text), '[a-z]+', 0))")
-    n_num = F.expr("size(regexp_extract_all(text, '[0-9]+', 0))")
-    n_other = F.expr("size(regexp_extract_all(lower(text), '[^a-z0-9 ]+', 0))")
-    return df.select(
-        "doc_id",
-        n_alpha.cast("long").alias("n_alpha"),
-        n_num.cast("long").alias("n_num"),
-        n_other.cast("long").alias("n_other"),
-        (n_alpha + n_num + n_other).cast("long").alias("n_bpe"),
     )
 
 
@@ -513,36 +406,6 @@ def q_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRIGRAMS = ["the", "ing", "and", "ent"]
 
-
-def q_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID via character n-grams: English trigram hit density.
-
-    hits(g) = (len(text) - len(replace(text, g))) / 3 — substring
-    counting by length delta, exact integers, replace() portable to
-    every engine. Complements the stopword heuristic (q_lang_stopword)
-    with the classic char-n-gram profile method."""
-    df = _docs(spark, sf_dir).withColumn("lt", F.lower("text"))
-    hit_terms = [
-        (F.length("lt") - F.length(F.expr(f"replace(lt, '{g}', '')"))) / 3
-        for g in _TRIGRAMS
-    ]
-    n_hits = hit_terms[0]
-    for t in hit_terms[1:]:
-        n_hits = n_hits + t
-    return df.select(
-        "doc_id",
-        "lang",
-        n_hits.cast("long").alias("n_tri_hits"),
-        F.length("text").cast("long").alias("text_len"),
-        F.when(n_hits.cast("long") * 50 >= F.length("text"), F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("guess_en"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Similarity search (embeddings)
-# ---------------------------------------------------------------------------
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     """Global top-k WITHOUT a global single-partition window.
@@ -812,14 +675,14 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracles
 # ---------------------------------------------------------------------------
 
-# cap mirror of q_minhash_lsh: only the _LSH_BUCKET_CAP smallest doc_ids
-# of each (band, key) participate in pair generation
-_BANDS_CAPPED = f"""
-    SELECT doc_id, b, k FROM (
-      SELECT doc_id, b, k,
-             row_number() OVER (PARTITION BY b, k ORDER BY doc_id) AS rn
-      FROM bands
-    ) WHERE rn <= {_LSH_BUCKET_CAP}
+# star-pair mirror of q_minhash_lsh: every band-bucket member pairs
+# with the bucket minimum (linear per bucket, every member retained)
+_BAND_STAR_PAIRS = """
+    SELECT DISTINCT m.doc_a, bb.doc_id AS doc_b
+    FROM bands bb
+    JOIN (SELECT b, k, min(doc_id) AS doc_a FROM bands GROUP BY b, k) m
+      ON bb.b = m.b AND bb.k = m.k
+    WHERE bb.doc_id <> m.doc_a
 """
 
 
@@ -869,22 +732,14 @@ def corpus_oracles() -> dict[str, str]:
         "minhash_lsh": f"""
             WITH sh AS ({sh_cte}),
             sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
-            bands AS ({band_selects}),
-            capped AS ({_BANDS_CAPPED})
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM capped a JOIN capped b
-              ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+            bands AS ({band_selects})
+            {_BAND_STAR_PAIRS}
         """,
         "dedup_groups": f"""
             WITH RECURSIVE sh AS ({sh_cte}),
             sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
             bands AS ({band_selects}),
-            capped AS ({_BANDS_CAPPED}),
-            pairs AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM capped a JOIN capped b
-                ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
-            ),
+            pairs AS ({_BAND_STAR_PAIRS}),
             edges AS (
               SELECT doc_a AS src, doc_b AS dst FROM pairs
               UNION

@@ -228,9 +228,6 @@ def parse_and_match_pandas(
     )
 
 
-_ANY_PATTERN_CACHE: dict[tuple, dict[str, str | None]] = {}
-
-
 def _any_patterns(compiled: CompiledRules) -> dict[str, str | None]:
     """Combined alternation pattern per field, or None when any rule of
     that field is not RE2-compatible (prefiltering then unsafe).
@@ -242,15 +239,14 @@ def _any_patterns(compiled: CompiledRules) -> dict[str, str | None]:
     rule (the unmatched bucket), that converts O(rules) scans per row
     into O(1). Capture groups are stripped (nogroup) — match-only.
 
-    The cache key is the ordered (field, pattern) content of the rule
-    set — everything the combined pattern depends on. Keying on
-    ``id(compiled)`` (the original implementation) served stale entries
-    when a garbage-collected CompiledRules' id was reused by a new rule
-    set, silently routing matchable rows to the unmatched bucket; a
-    content key makes collisions impossible and bounds the cache by the
-    number of distinct rule sets seen in the process."""
-    key = tuple((r.spec.field, r.spec.pattern) for r in compiled.rules)
-    got = _ANY_PATTERN_CACHE.get(key)
+    MEMOIZED ON THE COMPILED OBJECT itself (object.__setattr__ works on
+    the frozen dataclass): the combined pattern is a pure function of
+    the rule set, so storing it with the object makes the earlier bug
+    classes unrepresentable — no process-global cache to grow without
+    bound, no id()-keyed entries to go stale when a collected object's
+    id is reused (which silently routed matchable rows to the unmatched
+    bucket), and no per-batch cache-key construction."""
+    got = getattr(compiled, "_any_patterns_memo", None)
     if got is None:
         got = {}
         from .rules import nogroup_pattern
@@ -265,7 +261,7 @@ def _any_patterns(compiled: CompiledRules) -> dict[str, str | None]:
                 got[field_name] = combined if _re2_compatible(combined) else None
             else:
                 got[field_name] = None  # a non-RE2 rule -> no prefilter
-        _ANY_PATTERN_CACHE[key] = got
+        object.__setattr__(compiled, "_any_patterns_memo", got)
     return got
 
 

@@ -98,6 +98,7 @@ class SinkSet:
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
     # per-sink approx conv cardinality from the last write's Observation
     _convs_approx: dict[str, int] | None = field(default=None, repr=False)
+    _written: bool = field(default=False, repr=False)
 
     def _run_dir(self) -> str:
         return os.path.join(self.out_dir, "runs", self.run_id)
@@ -156,6 +157,17 @@ class SinkSet:
         """
         from pyspark.sql import Observation
 
+        if self._written:
+            # the footer walk counts EVERY file under this run's dir, so
+            # a second write through the same instance would double-count
+            # the first write's rows against the second's Observation and
+            # trip the conservation check — one write per SinkSet run
+            raise RuntimeError(
+                "this SinkSet already wrote run "
+                f"{self.run_id!r}; create a new SinkSet (new run_id) for "
+                "each write_classified call"
+            )
+        self._written = True
         cols = ["bucket", "sink_id", "conv_id", "turn_idx", "role", "ts",
                 "rule_id", "rule_name", "action", "rendered",
                 # enrichment outputs (J1): the broadcast lookup joins

@@ -101,32 +101,31 @@ def test_cc_matches_union_find(spark):
 # minhash_lsh: hot band keys stay bounded
 # ---------------------------------------------------------------------------
 
-def test_minhash_hot_band_key_capped(spark, tmp_path):
+def test_minhash_hot_band_key_linear(spark, tmp_path):
     """200 identical documents collapse to ONE band key per band — the
-    classic boilerplate mega-bucket. The capped pair generation must
-    emit exactly C(cap, 2) pairs (the cap smallest doc_ids), not
-    C(200, 2) = 19900, and must still agree with the DuckDB oracle
-    (which mirrors the cap)."""
+    classic boilerplate mega-bucket. Star-shaped pair generation must
+    emit exactly df-1 = 199 pairs (every member against the bucket
+    minimum), not C(200, 2) = 19900 through a self-join, and must agree
+    with the DuckDB oracle (which mirrors the star)."""
     texts = ["all rights reserved legal footer menu home about contact"] * 200
     d = _write_documents(spark, tmp_path, texts)
     got = corpus.q_minhash_lsh(spark, d).toPandas()
-    cap = corpus._LSH_BUCKET_CAP
-    assert len(got) == cap * (cap - 1) // 2
-    # capped set = the cap smallest ids -> max id seen is cap-1
-    assert got[["doc_a", "doc_b"]].to_numpy().max() == cap - 1
+    assert len(got) == 199
+    assert set(got["doc_a"]) == {0}            # star root = bucket min
+    assert set(got["doc_b"]) == set(range(1, 200))  # NO member dropped
     want = _oracle_con(d).execute(corpus.corpus_oracles()["minhash_lsh"]).fetchdf()
     assert _norm(got) == _norm(want)
 
 
-def test_minhash_dup_cluster_still_groups_through_cap(spark, tmp_path):
-    """The cap keeps the bucket MINIMUM, so every retained member still
-    links toward the cluster root and dedup_groups resolves the whole
-    boilerplate cluster... for the retained members; verify the capped
-    pairs form one component rooted at doc 0."""
+def test_minhash_dup_cluster_groups_completely(spark, tmp_path):
+    """Every member of a boilerplate mega-bucket must resolve into ONE
+    component covering ALL members (an earlier capped design silently
+    dropped members beyond the cap from the candidate graph)."""
     texts = ["identical boilerplate page body text here"] * 100
     d = _write_documents(spark, tmp_path, texts)
     labels = corpus.connected_components(corpus.q_minhash_lsh(spark, d)).toPandas()
     assert set(labels["group_root"]) == {0}
+    assert set(labels["doc_id"]) == set(range(100))
 
 
 # ---------------------------------------------------------------------------

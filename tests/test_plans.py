@@ -133,14 +133,14 @@ def test_tfidf_topk_no_global_sort(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_conv_bounds_partial_agg_no_window(spark):
+def test_conv_profile_partial_agg_no_window(spark):
     """min_by/max_by keep first/last inside the aggregate buffer: no
     Window operator, and the aggregation is partial+final (the shuffle
     carries ~one row per (conv, map partition), not every turn the way
     a first_value window would)."""
     from logparse_spark import queries
 
-    plan = _plan(queries.q_conv_bounds(spark, "/root/testdata/sf0.001"))
+    plan = _plan(queries.q_conv_profile(spark, "/root/testdata/sf0.001"))
     assert "Window" not in plan, plan
     assert "partial_min_by" in plan, plan
 
@@ -223,15 +223,21 @@ def test_dispatch_captures_single_python_stage(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_minhash_pairgen_has_no_join(spark):
-    """Round-2 shape: capped per-bucket pair generation replaces the
-    band-key self-join entirely — the plan must contain NO join
-    operator (hot keys can't quadratically explode a join that isn't
-    there)."""
+def test_minhash_pairgen_star_linear(spark):
+    """Round-2 shape: star pairing = bands equi-joined to the per-bucket
+    MIN aggregate. Output is linear in the input (df-1 pairs per bucket)
+    so the only acceptable join is a hash equi-join on (b, k) — never a
+    nested-loop/cartesian, and never a bands-to-bands self-join (which
+    would be O(df^2) on a hot boilerplate key)."""
     from logparse_spark import corpus
 
     plan = _plan(corpus.q_minhash_lsh(spark, "/root/testdata/sf0.001"))
-    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_min" in plan, plan          # bucket-min aggregate
+    assert "HashJoin" in plan, plan             # equi-join on (b, k)
+    # exactly one join: bands->mins attach; a second would be all-pairs
+    assert plan.count("Join") == 1, plan
 
 
 def test_enrich_lookup_single_parse_broadcast_only(spark):
