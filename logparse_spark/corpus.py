@@ -455,25 +455,28 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_topk(scored, 5)
 
 
-def _hyperplane(j: int) -> list[float]:
+def _hyperplane(j: int, table: int = 0) -> list[float]:
     """Deterministic pseudo-random hyperplane: md5-derived in [-0.5, 0.5].
 
     Python-side constants embedded as literals in BOTH engines' SQL,
-    so there is no cross-engine RNG to disagree."""
+    so there is no cross-engine RNG to disagree. ``table`` selects an
+    independent hyperplane family for multi-table LSH; table 0 keeps
+    the original seeds so every existing oracle stays bit-identical."""
     import hashlib
 
     out = []
     for i in range(DIM):
-        h = hashlib.md5(f"hp{j}_{i}".encode()).hexdigest()
+        seed = f"hp{j}_{i}" if table == 0 else f"hp{table}t{j}_{i}"
+        h = hashlib.md5(seed.encode()).hexdigest()
         out.append((int(h[:8], 16) % 10_000) / 10_000.0 - 0.5)
     return out
 
 
-def _lsh_bucket_sql(col: str, dialect: str) -> str:
+def _lsh_bucket_sql(col: str, dialect: str, table: int = 0) -> str:
     """The 6-bit signature as a SQL expression over array column `col`."""
     parts = []
     for j in range(6):
-        hp = _hyperplane(j)
+        hp = _hyperplane(j, table)
         if dialect == "duckdb":
             terms = [f"(CAST({col}[{i+1}] AS DOUBLE) * {hp[i]!r})" for i in range(DIM)]
         else:
@@ -483,7 +486,7 @@ def _lsh_bucket_sql(col: str, dialect: str) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
-def _lsh_bucket_col():
+def _lsh_bucket_col(col: str = "embedding", table: int = 0):
     """Spark side of the 6-bit signature: per-bit hyperplane dot via
     zip_with+aggregate against an array literal of the same constants
     the oracle SQL inlines — identical term order, tiny expression
@@ -491,8 +494,8 @@ def _lsh_bucket_col():
     driver-side planning cold)."""
     bits = []
     for j in range(6):
-        hp = F.array(*[F.lit(c) for c in _hyperplane(j)])
-        dot = _dot_col(F.col("embedding"), hp)
+        hp = F.array(*[F.lit(c) for c in _hyperplane(j, table)])
+        dot = _dot_col(F.col(col), hp)
         bits.append(F.when(dot > 0, F.lit(2**j)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
@@ -540,6 +543,127 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _cosine_col("embedding", "qe").alias("sim_r")
     )
     return _ranked_topk(scored, 5)
+
+
+def ann_search(
+    spark: SparkSession,
+    sf_dir: str,
+    method: str = "brute",
+    query_ids=(0,),
+    k: int = 5,
+    nprobe: int = 2,
+    n_tables: int = 2,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Batched ANN: ONE pass over the embeddings table answers EVERY
+    query at once — the realistic 100 TB shape (a query workload is a
+    small broadcast relation; re-scanning 100 TB per query is not an
+    option). Returns (qid, rk, vec_id, sim_r), top-k per query.
+
+    - ``brute``: every (vector, query) pair scored; the exact baseline.
+    - ``lsh``:   multi-table multi-probe random-hyperplane LSH. Each of
+      ``n_tables`` independent hyperplane families gives every vector a
+      6-bit signature; a query probes, per table, every bucket within
+      Hamming distance ``probe_radius`` of its own signature (the
+      standard recall levers — see BENCH/RECALL.md for the measured
+      recall/candidate-fraction grid on the fixture, whose true
+      neighbors sit near cosine 0.3 so single-probe recall is
+      p_agree^6 ≈ 0.05 by the hyperplane collision bound). Candidates
+      dedup via map-side-combinable max(sim) agg, never a distinct of
+      raw vectors.
+    - ``ivf``:   vectors assigned to their max-cosine centroid cell
+      (K=4 deterministic centroids = vec_id 0..3); each query probes
+      its ``nprobe`` nearest cells (equi-join on cell id).
+
+    Scale shape: the data side is written ``partitionBy(t, bucket)``
+    (resp. ``cell``); a query workload touches only matching partitions
+    — n_tables×(1+6×radius…)/64 of the index, never a full scan.
+    Per-query top-k is a rank window partitioned by qid — Spark >=3.5
+    plans the rank filter as WindowGroupLimit (partial per-partition
+    top-k BEFORE the shuffle, asserted in tests/test_plans.py), so the
+    exchange carries <= k rows per (query, input partition), never the
+    full scored set."""
+    ids = [int(i) for i in query_ids]
+    emb = _emb(spark, sf_dir)
+    if method == "brute":
+        qs = emb.filter(F.col("vec_id").isin(ids)).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        )
+        cand = emb.crossJoin(F.broadcast(qs))
+    elif method == "lsh":
+        sigs = F.array(*[_lsh_bucket_col(table=t) for t in range(n_tables)])
+        indexed = emb.select(
+            "vec_id", "embedding", F.posexplode(sigs).alias("t", "bucket")
+        )
+        # probe masks: all 6-bit masks with popcount <= probe_radius
+        masks = [m for m in range(64) if bin(m).count("1") <= probe_radius]
+        qsig = emb.filter(F.col("vec_id").isin(ids)).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.posexplode(sigs).alias("qt", "qsig"),
+        )
+        probes = qsig.select(
+            "qid",
+            "qe",
+            "qt",
+            F.explode(
+                F.array(*[F.col("qsig").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("qbucket"),
+        )
+        cand = indexed.join(
+            F.broadcast(probes),
+            (F.col("t") == F.col("qt")) & (F.col("bucket") == F.col("qbucket")),
+        )
+        scored = cand.filter(F.col("vec_id") != F.col("qid")).select(
+            "qid", "vec_id", _cosine_col("embedding", "qe").alias("sim_r")
+        )
+        # same (qid, vec_id) can arrive via several tables/probes: exact
+        # dedup by max (scores are identical), partial-agg map-side
+        deduped = scored.groupBy("qid", "vec_id").agg(
+            F.max("sim_r").alias("sim_r")
+        )
+        wq = Window.partitionBy("qid").orderBy(F.desc("sim_r"), F.asc("vec_id"))
+        return (
+            deduped.withColumn("rk", F.row_number().over(wq).cast("long"))
+            .filter(F.col("rk") <= k)
+            .select("qid", "rk", "vec_id", "sim_r")
+        )
+    elif method == "ivf":
+        cents = emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        )
+        csim = _dot_col("embedding", "ce") / (
+            F.sqrt(_dot_col("embedding", "embedding"))
+            * F.sqrt(_dot_col("ce", "ce"))
+        )
+        assigned = emb.crossJoin(F.broadcast(cents)).withColumn("csim", csim)
+        w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+        ranked = assigned.withColumn("crk", F.row_number().over(w))
+        cells = ranked.filter(F.col("crk") == 1).select(
+            "vec_id", F.col("cid").alias("cell"), "embedding"
+        )
+        # nprobe nearest cells per query: (qid, pcell) pairs, broadcast
+        probes = ranked.filter(
+            F.col("vec_id").isin(ids) & (F.col("crk") <= nprobe)
+        ).select(F.col("vec_id").alias("qid"), F.col("cid").alias("pcell"))
+        qs = emb.filter(F.col("vec_id").isin(ids)).select(
+            F.col("vec_id").alias("pqid"), F.col("embedding").alias("qe")
+        )
+        qprobe = probes.join(qs, F.col("qid") == F.col("pqid")).select(
+            "qid", "pcell", "qe"
+        )
+        cand = cells.join(F.broadcast(qprobe), F.col("cell") == F.col("pcell"))
+    else:
+        raise ValueError(f"unknown ANN method {method!r}")
+    scored = cand.filter(F.col("vec_id") != F.col("qid")).select(
+        "qid", "vec_id", _cosine_col("embedding", "qe").alias("sim_r")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("sim_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "vec_id", "sim_r")
+    )
 
 
 def q_users_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,6 +830,11 @@ def corpus_oracles() -> dict[str, str]:
     nq = _dot64("q.qe", "q.qe", "duckdb")
     sim = f"({dot} / (sqrt({na}) * sqrt({nq})))"
     bucket_e = _lsh_bucket_sql("e.embedding", "duckdb")
+    bucket_e_t1 = _lsh_bucket_sql("e.embedding", "duckdb", table=1)
+    dot_bp = _dot64("b.embedding", "p.qe", "duckdb")
+    nb_bp = _dot64("b.embedding", "b.embedding", "duckdb")
+    np_bp = _dot64("p.qe", "p.qe", "duckdb")
+    sim_bp = f"({dot_bp} / (sqrt({nb_bp}) * sqrt({np_bp})))"
     dot_ab = _dot64("a.embedding", "b.embedding", "duckdb")
     na_a = _dot64("a.embedding", "a.embedding", "duckdb")
     nb_b = _dot64("b.embedding", "b.embedding", "duckdb")
@@ -905,6 +1034,42 @@ def corpus_oracles() -> dict[str, str]:
               FROM scored
             ) WHERE rk <= 5
             )
+            UNION ALL
+            SELECT 'batch' || CAST(qid AS VARCHAR) AS method, rk, vec_id, sim_r FROM (
+            WITH b AS (
+              SELECT e.vec_id, e.embedding, 0 AS t, {bucket_e} AS bucket
+              FROM embeddings e
+              UNION ALL
+              SELECT e.vec_id, e.embedding, 1 AS t, {bucket_e_t1} AS bucket
+              FROM embeddings e
+            ),
+            q AS (
+              SELECT e.vec_id AS qid, e.embedding AS qe, 0 AS qt,
+                     {bucket_e} AS qsig
+              FROM embeddings e WHERE e.vec_id IN (1, 2, 3)
+              UNION ALL
+              SELECT e.vec_id, e.embedding, 1, {bucket_e_t1}
+              FROM embeddings e WHERE e.vec_id IN (1, 2, 3)
+            ),
+            p AS (
+              SELECT q.qid, q.qe, q.qt, xor(q.qsig, m.m) AS qbucket
+              FROM q, (VALUES (0), (1), (2), (4), (8), (16), (32)) m(m)
+            ),
+            scored AS (
+              SELECT p.qid, b.vec_id, round({sim_bp}, 6) AS sim_r
+              FROM b JOIN p ON b.t = p.qt AND b.bucket = p.qbucket
+              WHERE b.vec_id <> p.qid
+            ),
+            d AS (
+              SELECT qid, vec_id, max(sim_r) AS sim_r
+              FROM scored GROUP BY qid, vec_id
+            )
+            SELECT qid, rk, vec_id, sim_r FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY sim_r DESC, vec_id) AS rk
+              FROM d
+            ) WHERE rk <= 5
+            )
         """,
         "users_no_purchase": """
             WITH e AS (
@@ -1026,17 +1191,29 @@ def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both bucketed ANN scale paths, tagged union: 6-bit hyperplane
+    """The bucketed ANN scale paths, tagged union: 6-bit hyperplane
     LSH (method='lsh') and IVF coarse-quantizer nprobe=2
     (method='ivf'), each an exact top-5 re-rank inside its probed
-    bucket(s) only."""
+    bucket(s) only — plus the batched multi-table multi-probe form
+    (method='batchN' for query N): ONE pass answers queries 1..3 with
+    2 independent hyperplane tables and Hamming probe radius 1, the
+    configuration BENCH/RECALL.md measures at recall 0.43 scanning
+    <=22% of the index."""
     lsh = q_ann_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "rk", "vec_id", "sim_r"
     )
     ivf = q_ann_ivf(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "rk", "vec_id", "sim_r"
     )
-    return lsh.unionByName(ivf)
+    batch = ann_search(
+        spark, sf_dir, "lsh", query_ids=[1, 2, 3], k=5, n_tables=2, probe_radius=1
+    ).select(
+        F.concat(F.lit("batch"), F.col("qid").cast("string")).alias("method"),
+        "rk",
+        "vec_id",
+        "sim_r",
+    )
+    return lsh.unionByName(ivf).unionByName(batch)
 
 
 def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
