@@ -79,6 +79,21 @@ def main() -> None:
         fmt_plan(rev),
     ))
 
+    batch = corpus.ann_search(
+        spark, sf, "lsh", query_ids=[0, 1, 2], k=5, n_tables=2, probe_radius=1
+    )
+    sections.append((
+        "Batched multi-table multi-probe LSH ANN (ann_search, one pass "
+        "answers the whole query workload)",
+        "Must hold: the query/probe side is a BroadcastHashJoin build "
+        "side (never a shuffle of the index); candidate dedup is a "
+        "partial-aggregating HashAggregate on (qid, vec_id) (map-side "
+        "combine of multi-table duplicates); the per-query top-k rank "
+        "filter plans as WindowGroupLimit so each partition forwards "
+        "<= k rows per qid into the window exchange.",
+        fmt_plan(batch),
+    ))
+
     tfidf = corpus.CORPUS_QUERIES["tfidf_terms"](spark, sf)
     sections.append((
         "Global TF-IDF top-30 terms",
