@@ -303,6 +303,131 @@ class SinkSet:
             )
         return out
 
+    # -- maintenance (Iceberg rewrite_data_files / expire_snapshots
+    #    stand-ins) ------------------------------------------------------
+
+    def compact(self, spark: SparkSession,
+                min_files_per_partition: int = 2) -> dict:
+        """Rewrite committed buckets' small files into one file per
+        (bucket, sink_id) and atomically repoint the manifest — the
+        parquet stand-in for Iceberg's ``rewrite_data_files`` +
+        snapshot swap.
+
+        Why this exists at 100 TB: fan-out writes shard each bucket
+        partition across every task that held rows for it (tasks x
+        sinks files per run), and resumed/multi-run tables accrete
+        runs. Scans then pay per-file open + footer costs and lose
+        row-group locality. Compaction is a bucket-parallel rewrite:
+        one shuffle keyed on the existing ``bucket`` column (no
+        re-hash of conv_id needed), each task writes exactly its
+        bucket's partitions, sorted by (sink_id, conv_id, turn_idx) so
+        routed-row order is preserved within every sink.
+
+        Safety: the rewrite lands in a NEW run dir; the manifest swap
+        happens only after parquet-footer counts from the new files
+        match the committed lineage exactly (same conservation check
+        as write_classified). A crash mid-compaction leaves the old
+        manifest intact and only an unreferenced run dir behind
+        (collected by ``vacuum``). Buckets already at or under
+        ``min_files_per_partition`` files per partition are left in
+        place (their old run stays referenced for them).
+
+        Returns {"rewritten_buckets": [...], "files_before": n,
+        "files_after": n}.
+        """
+        manifest = load_manifest(self.out_dir)
+        if not manifest["buckets"]:
+            raise FileNotFoundError(f"no committed buckets under {self.out_dir}")
+
+        # survey committed (bucket -> run, files) from the filesystem;
+        # skip buckets already compact
+        todo: dict[int, str] = {}
+        files_before = 0
+        for b, meta in manifest["buckets"].items():
+            base = os.path.join(self.out_dir, "runs", meta["run_id"],
+                                f"bucket={int(b)}")
+            n_files = max(
+                (len([f for f in fs if f.endswith(".parquet")])
+                 for _, _, fs in os.walk(base)),
+                default=0,
+            )
+            files_before += sum(
+                len([f for f in fs if f.endswith(".parquet")])
+                for _, _, fs in os.walk(base)
+            )
+            if n_files >= min_files_per_partition:
+                todo[int(b)] = meta["run_id"]
+        if not todo:
+            return {"rewritten_buckets": [], "files_before": files_before,
+                    "files_after": files_before}
+
+        compactor = SinkSet(out_dir=self.out_dir, fmt=self.fmt)
+        by_run: dict[str, list[int]] = {}
+        for b, run_id in todo.items():
+            by_run.setdefault(run_id, []).append(b)
+        frames = []
+        for run_id, bs in sorted(by_run.items()):
+            base = os.path.join(self.out_dir, "runs", run_id)
+            df = spark.read.option("basePath", base).parquet(base)
+            frames.append(df.filter(F.col("bucket").isin(bs)))
+        out = frames[0]
+        for f_ in frames[1:]:
+            out = out.unionByName(f_)
+        (
+            # one task per bucket -> one file per (bucket, sink_id)
+            out.repartition(len(todo), "bucket")
+            .sortWithinPartitions("bucket", "sink_id", "conv_id", "turn_idx")
+            .write.mode("append").partitionBy("bucket", "sink_id")
+            .parquet(compactor._run_dir())
+        )
+        new_lineage = compactor._lineage_from_footers()
+        # conservation: the rewrite must carry every committed row
+        for b in todo:
+            old = manifest["buckets"][str(b)]
+            got = new_lineage.get(b)
+            if got is None or got["rows"] != old["rows"] or \
+                    got["sinks"] != old["sinks"]:
+                raise RuntimeError(
+                    f"compaction conservation violated for bucket {b}: "
+                    f"committed {old!r}, rewrite produced {got!r} — "
+                    f"manifest left untouched"
+                )
+        compactor.commit(new_lineage, extra={"compaction_of": sorted(by_run)})
+        files_after = files_before
+        for b in todo:
+            base = os.path.join(compactor._run_dir(), f"bucket={b}")
+            files_after += sum(
+                len([f for f in fs if f.endswith(".parquet")])
+                for _, _, fs in os.walk(base)
+            )
+            old_base = os.path.join(self.out_dir, "runs", todo[b], f"bucket={b}")
+            files_after -= sum(
+                len([f for f in fs if f.endswith(".parquet")])
+                for _, _, fs in os.walk(old_base)
+            )
+        return {"rewritten_buckets": sorted(todo), "files_before": files_before,
+                "files_after": files_after}
+
+    def vacuum(self) -> list[str]:
+        """Delete run directories no manifest bucket references (the
+        ``expire_snapshots`` + ``remove_orphan_files`` stand-in).
+        Safe by construction: readers resolve data only through the
+        manifest, which is swapped atomically, so an unreferenced run
+        is invisible the instant vacuum could touch it. Returns the
+        removed run_ids."""
+        import shutil
+
+        manifest = load_manifest(self.out_dir)
+        live = {meta["run_id"] for meta in manifest["buckets"].values()}
+        runs_dir = os.path.join(self.out_dir, "runs")
+        removed = []
+        if os.path.isdir(runs_dir):
+            for run_id in sorted(os.listdir(runs_dir)):
+                if run_id not in live:
+                    shutil.rmtree(os.path.join(runs_dir, run_id))
+                    removed.append(run_id)
+        return removed
+
     def lineage_df(self, spark: SparkSession) -> DataFrame:
         """The _lineage metrics as a queryable DataFrame."""
         manifest = load_manifest(self.out_dir)

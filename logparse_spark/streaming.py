@@ -167,6 +167,41 @@ def make_batch_writer(compiled: CompiledRules, out_dir: str, engine: str = "udf"
     return process_batch
 
 
+def dedup_stream(
+    df_stream: DataFrame,
+    keys: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once event dedup for at-least-once upstreams.
+
+    Log/telemetry ingestion is at-least-once almost everywhere
+    (producer retries, agent re-sends, replayed partitions), so a
+    dedup-on-ingest operator is part of the pipeline's contract.
+    ``dropDuplicatesWithinWatermark`` keeps one row per ``keys`` among
+    events whose timestamps fall within the watermark of the first
+    sighting, and — unlike plain ``dropDuplicates`` on a stream —
+    EVICTS state once the watermark passes, so state size is bounded
+    by (arrival rate x watermark), not by total history. At 10^12
+    turns unbounded dedup state is a guaranteed OOM; this is the only
+    shape that survives.
+
+    Retries of the SAME event carry the same event time, so any
+    duplicate lands inside the window by construction; a duplicate
+    arriving later than the watermark is dropped as late data rather
+    than emitted twice.
+    """
+    tz = df_stream.sparkSession.conf.get("spark.sql.session.timeZone")
+    return (
+        df_stream.withColumn(
+            "ts_evt", F.to_utc_timestamp(F.col(ts_col).cast("timestamp"), tz)
+        )
+        .withWatermark("ts_evt", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .drop("ts_evt")
+    )
+
+
 def conversation_progress(df_stream: DataFrame, compiled: CompiledRules) -> DataFrame:
     """Custom stateful operator: per-conversation running progress.
 

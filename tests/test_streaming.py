@@ -304,3 +304,57 @@ def test_sink_layout_guard(tmp_path):
     os.makedirs(os.path.join(out2, "routed", "sink_id=authfail"))
     with pytest.raises(RuntimeError, match="_LAYOUT"):
         streaming.make_batch_writer(compiled, out2)
+
+
+def test_dedup_stream_exactly_once_across_batches(spark, tmp_path):
+    """dedup_stream collapses at-least-once delivery: the same events
+    re-delivered in a LATER micro-batch (the producer-retry /
+    replayed-partition shape) are emitted exactly once, and the output
+    equals the batch dropDuplicates on the same keys."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logparse_spark import streaming
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    base = {
+        "conv_id": [f"c{i}" for i in range(20)],
+        "turn_idx": pa.array(list(range(20)), type=pa.int32()),
+        "role": ["user"] * 20,
+        "text": [f"msg {i}" for i in range(20)],
+        "tool": pa.array([None] * 20, type=pa.string()),
+        "ts": pa.array(
+            [1_700_000_000_000_000 + i * 60_000_000 for i in range(20)],
+            type=pa.timestamp("us"),
+        ),
+    }
+    t = pa.table(base)
+    # file 1: rows 0..14 (rows 10..14 appear AGAIN in file 2, plus 15..19)
+    pq.write_table(t.slice(0, 15), str(src / "part-0.parquet"))
+    pq.write_table(t.slice(10, 10), str(src / "part-1.parquet"))
+
+    sdf = streaming.stream_transcripts(spark, str(src), max_files_per_trigger=1)
+    deduped = streaming.dedup_stream(
+        sdf, keys=["conv_id", "turn_idx"], watermark="365 days"
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory").queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.sql(
+        "SELECT conv_id, turn_idx FROM dedup_out ORDER BY turn_idx"
+    ).collect()
+    assert len(got) == 20  # 25 delivered, 5 duplicates collapsed
+    assert [r["turn_idx"] for r in got] == list(range(20))
+    want = (
+        spark.read.parquet(str(src))
+        .dropDuplicates(["conv_id", "turn_idx"])
+        .select("conv_id", "turn_idx").collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
