@@ -335,6 +335,12 @@ class SinkSet:
         Returns {"rewritten_buckets": [...], "files_before": n,
         "files_after": n}.
         """
+        if self.fmt == "iceberg":
+            raise RuntimeError(
+                "compact() is the parquet-manifest stand-in; on the Iceberg "
+                "branch use the native CALL catalog.system.rewrite_data_files"
+                "(table) procedure — the table format owns its file layout"
+            )
         manifest = load_manifest(self.out_dir)
         if not manifest["buckets"]:
             raise FileNotFoundError(f"no committed buckets under {self.out_dir}")

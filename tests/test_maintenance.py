@@ -142,3 +142,10 @@ def test_compact_noop_when_already_compact(spark, compact_out):
     res = sink.compact(spark)
     assert res["rewritten_buckets"] == []
     assert res["files_after"] == res["files_before"]
+
+
+def test_compact_refuses_iceberg_branch(spark, compact_out):
+    # on Iceberg the table format owns file layout (rewrite_data_files);
+    # the parquet-manifest compactor must not touch it
+    with pytest.raises(RuntimeError, match="rewrite_data_files"):
+        SinkSet(out_dir=compact_out, fmt="iceberg").compact(spark)
