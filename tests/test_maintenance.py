@@ -149,3 +149,27 @@ def test_compact_refuses_iceberg_branch(spark, compact_out):
     # the parquet-manifest compactor must not touch it
     with pytest.raises(RuntimeError, match="rewrite_data_files"):
         SinkSet(out_dir=compact_out, fmt="iceberg").compact(spark)
+
+
+def test_compact_plan_prunes_and_single_exchange(spark, compact_out):
+    """The compaction read must prune to the todo buckets at the scan
+    (PartitionFilters on the bucket partition column — at 100 TB
+    compacting 3 buckets must not list, let alone read, the other
+    1021) and the rewrite must cost exactly ONE exchange (the
+    repartition on bucket)."""
+    manifest = load_manifest(compact_out)
+    some = [int(b) for b in list(manifest["buckets"])[:2]]
+    run_id = manifest["buckets"][str(some[0])]["run_id"]
+    base = os.path.join(compact_out, "runs", run_id)
+    df = (
+        spark.read.option("basePath", base).parquet(base)
+        .filter(F.col("bucket").isin(some))
+        .repartition(len(some), "bucket")
+        .sortWithinPartitions("bucket", "sink_id", "conv_id", "turn_idx")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "bucket" in pf.group(1), plan
+    assert plan.count("Exchange") == 1, plan
