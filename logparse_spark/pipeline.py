@@ -84,6 +84,7 @@ def run(
     sink_format: str = "parquet",
     sink_table: str | None = None,  # iceberg table id when sink_format=iceberg
     fail_after_groups: int | None = None,  # test hook: simulate a crash
+    observe_cardinality: bool = False,  # opt-in write-time HLL (see sinks.py)
 ) -> RunResult:
     compiled = load_rules(rules_path)
     stages.tune_scan_splits(spark, source_path)
@@ -119,10 +120,15 @@ def run(
         )
         # single pass: ONE action writes every classified row (ignored
         # included); lineage row counts come from the written files'
-        # parquet footers and cardinality from a write-time Observation
-        # — no persist, no read-back, the parse UDF runs exactly once
+        # parquet footers, conservation-checked by a write-time
+        # Observation — no persist, no read-back, the parse UDF runs
+        # exactly once (per-sink conv cardinality: opt-in HLL here, or
+        # exact on demand via SinkSet.compute_sink_cardinality)
         sink = SinkSet(out_dir=out_dir, fmt=sink_format, table=sink_table)
-        lineage = sink.write_classified(cdf, sinks=compiled.sink_ids)
+        lineage = sink.write_classified(
+            cdf, sinks=compiled.sink_ids,
+            observe_cardinality=observe_cardinality,
+        )
         # buckets with zero rows still need committing
         for b in group:
             lineage.setdefault(b, {"rows": 0, "sinks": {}})

@@ -23,15 +23,19 @@ Lineage protocol (ONE pass over the data, ZERO read-back):
     file), never a second scan of the data. This is precisely how an
     Iceberg commit gets its per-partition stats (manifest-file row
     counts); on the Iceberg branch the snapshot itself carries them.
-  - A write-time ``Observation`` rides the same action with a
-    conservation total plus per-sink ``approx_count_distinct(conv_id)``
-    cardinality. Deliberately per-SINK, not per-(bucket, sink): every
-    observed aggregate is evaluated for EVERY row, so B x S metrics
-    cost O(B*S) per row (6k+ branch evaluations/row at 1024 buckets) —
-    a throughput cliff. S HLL sketches are a handful of updates per
-    row, and per-bucket conversation counts are ~convs/B by xxhash64
-    uniformity anyway; the exact per-bucket ROW counts come free from
-    the footers above.
+  - A write-time ``Observation`` rides the same action carrying ONLY
+    the conservation row total (one interpreted count per row —
+    negligible). Per-sink ``approx_count_distinct(conv_id)`` HLL
+    metrics are OPT-IN (``observe_cardinality=True``): CollectMetrics
+    evaluates its aggregates interpreted, outside whole-stage codegen,
+    and S sketches × when-branches measured ≈ +1.7s on a ~6.5s sf0.1
+    job (BENCH/LINEAGE.md) — too expensive to pay inline on every
+    production write. The default path instead offers
+    ``compute_sink_cardinality()``: an EXACT countDistinct at
+    reporting time over the committed table reading only the
+    ``conv_id`` column (``sink_id`` is a partition directory — no
+    data read for it), amortized across however many commits happened
+    since, instead of a sketch paid per row per write.
 """
 
 from __future__ import annotations
@@ -73,6 +77,18 @@ def _atomic_write_json(path: str, obj: dict) -> None:
 
 def committed_buckets(out_dir: str) -> set[int]:
     return {int(b) for b in load_manifest(out_dir)["buckets"]}
+
+
+def _aggregate_partition_rows(triples) -> dict[int, dict]:
+    """Fold (bucket, sink_id, rows) triples — one per data file, from
+    parquet footers or Iceberg manifest entries — into the lineage
+    shape {bucket: {"rows": n, "sinks": {sink: n}}}."""
+    lineage: dict[int, dict] = {}
+    for b, s, n in triples:
+        entry = lineage.setdefault(b, {"rows": 0, "sinks": {}})
+        entry["rows"] += n
+        entry["sinks"][s] = entry["sinks"].get(s, 0) + n
+    return lineage
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -131,7 +147,8 @@ class SinkSet:
                 raise
 
     def write_classified(self, df: DataFrame,
-                         sinks: list[str] | None = None) -> dict[int, dict]:
+                         sinks: list[str] | None = None,
+                         observe_cardinality: bool = False) -> dict[int, dict]:
         """Single-pass fan-out write of ALL classified rows (ignored
         rows included, under sink_id=ignored with a null payload — at
         parquet level the constant columns dictionary-encode to almost
@@ -146,9 +163,14 @@ class SinkSet:
         the parquet footers of the files this run just wrote (see
         module docstring); an ``Observation`` on the same action
         cross-checks conservation (sum of footer counts must equal the
-        observed total) and, when ``sinks`` names the expected sink
-        ids, records per-sink ``approx_count_distinct(conv_id)``
-        cardinality into the manifest at commit.
+        observed total). When ``observe_cardinality=True`` and
+        ``sinks`` names the expected sink ids, the Observation also
+        records per-sink ``approx_count_distinct(conv_id)`` HLL
+        cardinality into the manifest at commit — opt-in because
+        CollectMetrics aggregates evaluate interpreted per row
+        (measured cost in BENCH/LINEAGE.md); the default path gets
+        exact cardinality on demand from
+        :meth:`compute_sink_cardinality` instead.
 
         The sort key starts with the two dynamic-partition columns so
         the file writer's required ordering is pre-satisfied (single
@@ -176,7 +198,8 @@ class SinkSet:
         keep = [c for c in cols if c in df.columns]
         obs = Observation()
         metrics = [F.count(F.lit(1)).alias("rows_total")]
-        for i, s in enumerate(sinks or []):
+        observed_sinks = list(sinks or []) if observe_cardinality else []
+        for i, s in enumerate(observed_sinks):
             metrics.append(
                 F.approx_count_distinct(
                     F.when(F.col("sink_id") == s, F.col("conv_id"))
@@ -197,16 +220,7 @@ class SinkSet:
             )
         got = obs.get  # blocks until the (already finished) action reports
         if self.fmt == "iceberg":
-            # guard-only in this sandbox (no runtime jar): an Iceberg
-            # snapshot carries per-partition stats natively; reading the
-            # just-committed snapshot is the stand-in until then
-            readback = df.sparkSession.read.table(self.table)
-            stats = readback.groupBy("bucket", "sink_id").count().collect()
-            lineage: dict[int, dict] = {}
-            for r in stats:
-                entry = lineage.setdefault(int(r["bucket"]), {"rows": 0, "sinks": {}})
-                entry["rows"] += int(r["count"])
-                entry["sinks"][str(r["sink_id"])] = int(r["count"])
+            lineage = self._lineage_from_iceberg_snapshot(df.sparkSession)
         else:
             lineage = self._lineage_from_footers()
         total = sum(e["rows"] for e in lineage.values())
@@ -216,11 +230,39 @@ class SinkSet:
                 f"write observed {got['rows_total']} — output files missing "
                 f"or foreign files present under {self._run_dir()}"
             )
-        if sinks:
+        if observed_sinks:
             self._convs_approx = {
-                s: int(got[f"convs_{i}"]) for i, s in enumerate(sinks)
+                s: int(got[f"convs_{i}"]) for i, s in enumerate(observed_sinks)
             }
         return lineage
+
+    def _lineage_from_iceberg_snapshot(self, spark: SparkSession) -> dict[int, dict]:
+        """Per-(bucket, sink) row counts for the snapshot the write just
+        committed, derived from Iceberg METADATA tables — the
+        ``.snapshots`` table names the newest snapshot and the
+        ``.entries`` table lists the data files it ADDED
+        (``status = 1``) with their partition tuple and
+        ``record_count``. Both are manifest reads (KBs of avro
+        metadata), never a scan of the data itself — the exact Iceberg
+        analogue of the parquet-footer walk on the other branch.
+        Exercised only where the runtime jar exists (guard-tested here:
+        write_classified raises before reaching this without one)."""
+        snap = spark.sql(
+            f"SELECT snapshot_id FROM {self.table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        if not snap:
+            raise RuntimeError(f"no snapshot found on {self.table} after write")
+        entries = spark.sql(
+            "SELECT data_file.partition.bucket AS bucket, "
+            "data_file.partition.sink_id AS sink_id, "
+            "data_file.record_count AS rows "
+            f"FROM {self.table}.entries "
+            f"WHERE snapshot_id = {int(snap[0][0])} AND status = 1"
+        ).collect()
+        return _aggregate_partition_rows(
+            (int(r["bucket"]), str(r["sink_id"]), int(r["rows"])) for r in entries
+        )
 
     def _lineage_from_footers(self) -> dict[int, dict]:
         """Exact per-(bucket, sink) row counts from the parquet footers
@@ -231,7 +273,7 @@ class SinkSet:
         import pyarrow.parquet as pq
 
         run_dir = self._run_dir()
-        lineage: dict[int, dict] = {}
+        triples = []
         for root, _, files in os.walk(run_dir):
             pfs = [f for f in files if f.endswith(".parquet")]
             if not pfs:
@@ -241,15 +283,12 @@ class SinkSet:
                 for seg in os.path.relpath(root, run_dir).split(os.sep)
                 if "=" in seg
             )
-            b, s = int(parts["bucket"]), parts["sink_id"]
             n = sum(
                 pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
                 for f in pfs
             )
-            entry = lineage.setdefault(b, {"rows": 0, "sinks": {}})
-            entry["rows"] += n
-            entry["sinks"][s] = entry["sinks"].get(s, 0) + n
-        return lineage
+            triples.append((int(parts["bucket"]), parts["sink_id"], n))
+        return _aggregate_partition_rows(triples)
 
     def commit(self, lineage: dict[int, dict], extra: dict | None = None) -> None:
         """Atomically publish buckets (the Iceberg-snapshot stand-in)."""
@@ -275,18 +314,26 @@ class SinkSet:
 
     # -- read side -----------------------------------------------------
 
-    def read_routed(self, spark: SparkSession) -> DataFrame:
-        """Read committed routed rows — uncommitted runs are invisible,
-        like reading an Iceberg snapshot. The ignored sink is excluded
-        by partition pruning; count_key is re-derived (== rendered for
-        count rules) so readers see the full MATCH_COLUMNS shape."""
+    def _committed_by_run(self) -> dict[str, list[int]]:
+        """Committed buckets grouped by the run that produced them."""
         manifest = load_manifest(self.out_dir)
         if not manifest["buckets"]:
             raise FileNotFoundError(f"no committed buckets under {self.out_dir}")
-        # group committed buckets by the run that produced them
         by_run: dict[str, list[int]] = {}
         for b, meta in manifest["buckets"].items():
             by_run.setdefault(meta["run_id"], []).append(int(b))
+        return by_run
+
+    def _read_committed(self, spark: SparkSession,
+                        by_run: dict[str, list[int]] | None = None) -> DataFrame:
+        """Union the committed buckets across runs (uncommitted runs
+        are invisible, like reading an Iceberg snapshot). Cross-run
+        schemas can legitimately differ — write_classified's column
+        list varies with which enrichment dictionaries were supplied —
+        so the union is allowMissingColumns (absent columns read as
+        null), the same answer a table format's schema evolution
+        gives."""
+        by_run = by_run if by_run is not None else self._committed_by_run()
         frames = []
         for run_id, bs in sorted(by_run.items()):
             base = os.path.join(self.out_dir, "runs", run_id)
@@ -294,7 +341,15 @@ class SinkSet:
             frames.append(df.filter(F.col("bucket").isin(bs)))
         out = frames[0]
         for f_ in frames[1:]:
-            out = out.unionByName(f_)
+            out = out.unionByName(f_, allowMissingColumns=True)
+        return out
+
+    def read_routed(self, spark: SparkSession) -> DataFrame:
+        """Read committed routed rows — uncommitted runs are invisible,
+        like reading an Iceberg snapshot. The ignored sink is excluded
+        by partition pruning; count_key is re-derived (== rendered for
+        count rules) so readers see the full MATCH_COLUMNS shape."""
+        out = self._read_committed(spark)
         out = out.filter(F.col("sink_id") != "ignored")
         if "count_key" not in out.columns and "action" in out.columns:
             out = out.withColumn(
@@ -303,11 +358,60 @@ class SinkSet:
             )
         return out
 
+    def compute_sink_cardinality(self, spark: SparkSession,
+                                 record: bool = True) -> dict[str, int]:
+        """EXACT distinct-conversation count per sink over the whole
+        committed table, computed on demand at reporting time — the
+        default replacement for the opt-in write-time HLL Observation
+        (see module docstring for the trade).
+
+        Cost shape at 100 TB: the scan reads exactly ONE data column
+        (``conv_id``, dictionary-encoded) — ``sink_id`` and ``bucket``
+        are partition directories, satisfied from file paths — and the
+        distinct collapses map-side per (sink, conv) before one
+        shuffle. Paid once per report over all commits since, not per
+        row per write. With ``record=True`` the result is appended to
+        the manifest history (kind='exact' rows in
+        :meth:`sink_cardinality_df`)."""
+        counts = {
+            str(r["sink_id"]): int(r["n"])
+            for r in self._read_committed(spark)
+            .select("sink_id", "conv_id")
+            .groupBy("sink_id")
+            .agg(F.countDistinct("conv_id").alias("n"))
+            .collect()
+        }
+        if record:
+            manifest = load_manifest(self.out_dir)
+            manifest["history"].append({
+                "run_id": self.run_id,
+                "op": "cardinality",
+                "wall_time": time.time(),
+                "convs_exact": counts,
+            })
+            _atomic_write_json(_manifest_path(self.out_dir), manifest)
+        return counts
+
     # -- maintenance (Iceberg rewrite_data_files / expire_snapshots
     #    stand-ins) ------------------------------------------------------
 
+    def _compaction_plan(self, spark: SparkSession,
+                         by_run: dict[str, list[int]]) -> DataFrame:
+        """The compaction read+rewrite dataflow (shared with the plan
+        test so the asserted shape IS the executed shape): committed
+        buckets of the given runs, ONE exchange hash-partitioned on
+        the existing ``bucket`` column, each task sorted to satisfy
+        the dynamic-partition writer's required ordering."""
+        n_buckets = sum(len(bs) for bs in by_run.values())
+        return (
+            self._read_committed(spark, by_run)
+            .repartition(max(1, n_buckets), "bucket")
+            .sortWithinPartitions("bucket", "sink_id", "conv_id", "turn_idx")
+        )
+
     def compact(self, spark: SparkSession,
-                min_files_per_partition: int = 2) -> dict:
+                min_files_per_partition: int = 2,
+                max_records_per_file: int | None = None) -> dict:
         """Rewrite committed buckets' small files into one file per
         (bucket, sink_id) and atomically repoint the manifest — the
         parquet stand-in for Iceberg's ``rewrite_data_files`` +
@@ -322,6 +426,16 @@ class SinkSet:
         re-hash of conv_id needed), each task writes exactly its
         bucket's partitions, sorted by (sink_id, conv_id, turn_idx) so
         routed-row order is preserved within every sink.
+
+        ``max_records_per_file`` is the file-size target (Iceberg
+        rewrite_data_files' target-file-size-bytes analogue): at
+        100 TB "one file per (bucket, sink)" can mean a 100 GB file,
+        so set it to rows-per-target-size and the writer rolls to a
+        new sorted file at that count. Rolled files still honor the
+        (conv_id, turn_idx) order within each partition; a partition
+        compacted under a target is considered done when its file
+        count already matches ceil(rows / target) (so re-running with
+        the same target is a no-op, not a rewrite loop).
 
         Safety: the rewrite lands in a NEW run dir; the manifest swap
         happens only after parquet-footer counts from the new files
@@ -345,23 +459,34 @@ class SinkSet:
         if not manifest["buckets"]:
             raise FileNotFoundError(f"no committed buckets under {self.out_dir}")
 
-        # survey committed (bucket -> run, files) from the filesystem;
-        # skip buckets already compact
+        # survey committed (bucket -> run, per-sink files) from the
+        # filesystem; skip buckets already at their target layout
+        import math
+
         todo: dict[int, str] = {}
         files_before = 0
         for b, meta in manifest["buckets"].items():
             base = os.path.join(self.out_dir, "runs", meta["run_id"],
                                 f"bucket={int(b)}")
-            n_files = max(
-                (len([f for f in fs if f.endswith(".parquet")])
-                 for _, _, fs in os.walk(base)),
-                default=0,
-            )
-            files_before += sum(
-                len([f for f in fs if f.endswith(".parquet")])
-                for _, _, fs in os.walk(base)
-            )
-            if n_files >= min_files_per_partition:
+            per_sink: dict[str, int] = {}
+            for root, _, fs in os.walk(base):
+                n = len([f for f in fs if f.endswith(".parquet")])
+                if not n:
+                    continue
+                sink = [s for s in root.split(os.sep) if s.startswith("sink_id=")]
+                s = sink[0].split("=", 1)[1] if sink else ""
+                per_sink[s] = per_sink.get(s, 0) + n
+            files_before += sum(per_sink.values())
+            if max_records_per_file is not None:
+                # target layout: ceil(rows / target) files per partition
+                needs = any(
+                    n != max(1, math.ceil(
+                        meta["sinks"].get(s, 0) / max_records_per_file))
+                    for s, n in per_sink.items()
+                )
+            else:
+                needs = max(per_sink.values(), default=0) >= min_files_per_partition
+            if needs:
                 todo[int(b)] = meta["run_id"]
         if not todo:
             return {"rewritten_buckets": [], "files_before": files_before,
@@ -371,21 +496,12 @@ class SinkSet:
         by_run: dict[str, list[int]] = {}
         for b, run_id in todo.items():
             by_run.setdefault(run_id, []).append(b)
-        frames = []
-        for run_id, bs in sorted(by_run.items()):
-            base = os.path.join(self.out_dir, "runs", run_id)
-            df = spark.read.option("basePath", base).parquet(base)
-            frames.append(df.filter(F.col("bucket").isin(bs)))
-        out = frames[0]
-        for f_ in frames[1:]:
-            out = out.unionByName(f_)
-        (
-            # one task per bucket -> one file per (bucket, sink_id)
-            out.repartition(len(todo), "bucket")
-            .sortWithinPartitions("bucket", "sink_id", "conv_id", "turn_idx")
-            .write.mode("append").partitionBy("bucket", "sink_id")
-            .parquet(compactor._run_dir())
-        )
+        # one task per bucket -> one sorted file per (bucket, sink_id),
+        # rolled every max_records_per_file rows when a target is set
+        writer = self._compaction_plan(spark, by_run).write.mode("append")
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy("bucket", "sink_id").parquet(compactor._run_dir())
         new_lineage = compactor._lineage_from_footers()
         # conservation: the rewrite must carry every committed row
         for b in todo:
@@ -414,23 +530,32 @@ class SinkSet:
         return {"rewritten_buckets": sorted(todo), "files_before": files_before,
                 "files_after": files_after}
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, min_age_minutes: float = 60.0) -> list[str]:
         """Delete run directories no manifest bucket references (the
         ``expire_snapshots`` + ``remove_orphan_files`` stand-in).
-        Safe by construction: readers resolve data only through the
-        manifest, which is swapped atomically, so an unreferenced run
-        is invisible the instant vacuum could touch it. Returns the
-        removed run_ids."""
+        Returns the removed run_ids.
+
+        Safety model: READERS are safe by construction (they resolve
+        data only through the atomically-swapped manifest, so an
+        unreferenced run is invisible), but a concurrent WRITER's
+        uncommitted run dir is indistinguishable from an orphan until
+        its commit lands. ``min_age_minutes`` is the same guard
+        Iceberg's remove_orphan_files uses (``older_than``): run dirs
+        younger than it are skipped, so only writes that have been
+        in flight longer than the threshold are at risk. Pass 0 only
+        where a single driver owns the table (this sandbox's tests)."""
         import shutil
 
         manifest = load_manifest(self.out_dir)
         live = {meta["run_id"] for meta in manifest["buckets"].values()}
         runs_dir = os.path.join(self.out_dir, "runs")
         removed = []
+        cutoff = time.time() - min_age_minutes * 60.0
         if os.path.isdir(runs_dir):
             for run_id in sorted(os.listdir(runs_dir)):
-                if run_id not in live:
-                    shutil.rmtree(os.path.join(runs_dir, run_id))
+                path = os.path.join(runs_dir, run_id)
+                if run_id not in live and os.path.getmtime(path) <= cutoff:
+                    shutil.rmtree(path)
                     removed.append(run_id)
         return removed
 
@@ -447,15 +572,18 @@ class SinkSet:
         ).filter(F.col("bucket").isNotNull())
 
     def sink_cardinality_df(self, spark: SparkSession) -> DataFrame:
-        """Per-(run, sink) approx conversation cardinality recorded by
-        the write-time Observation (n_convs_approx = HLL
-        approx_count_distinct(conv_id), default 5% rsd)."""
+        """Per-(run, sink) conversation cardinality recorded in the
+        manifest history: kind='approx' rows from the opt-in
+        write-time HLL Observation (approx_count_distinct, 5% rsd);
+        kind='exact' rows from :meth:`compute_sink_cardinality`."""
         manifest = load_manifest(self.out_dir)
         rows = []
         for h in manifest["history"]:
             for sink, n in (h.get("convs_approx") or {}).items():
-                rows.append((h["run_id"], sink, int(n)))
+                rows.append((h["run_id"], sink, int(n), "approx"))
+            for sink, n in (h.get("convs_exact") or {}).items():
+                rows.append((h["run_id"], sink, int(n), "exact"))
         return spark.createDataFrame(
-            rows or [(None, None, None)],
-            "run_id string, sink_id string, n_convs_approx long",
+            rows or [(None, None, None, None)],
+            "run_id string, sink_id string, n_convs long, kind string",
         ).filter(F.col("run_id").isNotNull())

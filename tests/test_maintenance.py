@@ -4,19 +4,27 @@ Iceberg rewrite_data_files / expire_snapshots — SURVEY.md §2.2 X2).
 Properties locked in:
   - compaction preserves the committed table EXACTLY (same rows, same
     per-sink counts, same routed-row order within every sink);
-  - it actually reduces file count to one per (bucket, sink);
+  - it actually reduces file count to one per (bucket, sink), or to
+    ceil(rows / max_records_per_file) files when a size target is set;
   - the manifest swap is atomic-by-construction (conservation check
-    runs before commit), and vacuum removes only unreferenced runs;
+    runs before commit), and vacuum removes only unreferenced runs
+    older than its min-age guard;
   - readers (read_routed / lineage_df) see identical results before
     and after compact + vacuum.
+
+Every test copies the shared committed-run fixture into its own tmp
+dir (the fixture itself is never mutated), so tests are order- and
+selection-independent.
 """
 
 from __future__ import annotations
 
+import math
 import os
+import re
+import shutil
 
 import pytest
-from pyspark.sql import functions as F
 
 from logparse_spark import pipeline
 from logparse_spark.sinks import SinkSet, load_manifest
@@ -25,12 +33,12 @@ RULES = "/root/repo/rules/default.rules"
 
 
 @pytest.fixture(scope="module")
-def compact_out(spark, fixture_sf_small, tmp_path_factory):
+def committed_run(spark, fixture_sf_small, tmp_path_factory):
     """A committed pipeline run with deliberately sharded bucket
     partitions: salt spreads each bucket over several write tasks, so
     every (bucket, sink) holds multiple small files — the state
-    compaction exists to fix."""
-    out = str(tmp_path_factory.mktemp("compact_out"))
+    compaction exists to fix. READ-ONLY: tests copy it, never mutate."""
+    out = str(tmp_path_factory.mktemp("committed_run"))
     pipeline.run(
         spark,
         source_path=f"{fixture_sf_small}/transcripts.parquet",
@@ -42,6 +50,14 @@ def compact_out(spark, fixture_sf_small, tmp_path_factory):
         groups=2,
         hot_threshold=500,
     )
+    return out
+
+
+@pytest.fixture()
+def compact_out(committed_run, tmp_path):
+    """A private, mutable copy of the committed run for this test."""
+    out = str(tmp_path / "sinkset")
+    shutil.copytree(committed_run, out)
     return out
 
 
@@ -111,12 +127,50 @@ def test_compact_preserves_table_and_merges_files(spark, compact_out):
     )
     assert rows == sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"]))
 
+    # and a re-run with the same settings is a no-op (layout at target)
+    res2 = SinkSet(out_dir=compact_out).compact(spark)
+    assert res2["rewritten_buckets"] == []
+    assert res2["files_after"] == res2["files_before"]
+
+
+def test_compact_with_file_size_target(spark, compact_out):
+    """max_records_per_file is the rewrite_data_files target-file-size
+    analogue: at 100 TB one file per (bucket, sink) would be a 100 GB
+    file, so the writer must roll at the target and the resulting file
+    count must scale as ceil(rows / target) per partition."""
+    sink = SinkSet(out_dir=compact_out)
+    manifest_before = load_manifest(compact_out)["buckets"]
+    target = 200
+    res = sink.compact(spark, max_records_per_file=target)
+    assert res["rewritten_buckets"]
+
+    manifest_after = load_manifest(compact_out)["buckets"]
+    census = _file_census(compact_out)
+    for (b, s), n in census.items():
+        if b in res["rewritten_buckets"]:
+            rows = manifest_after[str(b)]["sinks"][s]
+            assert n == max(1, math.ceil(rows / target)), (b, s, n, rows)
+    # conservation held (commit would have refused otherwise)
+    for b in manifest_before:
+        assert manifest_after[b]["sinks"] == manifest_before[b]["sinks"]
+    # partitions large enough actually rolled into multiple files
+    rolled = [
+        n for (b, s), n in census.items()
+        if b in res["rewritten_buckets"]
+        and manifest_after[str(b)]["sinks"][s] > target
+    ]
+    assert rolled and all(n > 1 for n in rolled), census
+
+    # idempotent under the SAME target: layout already matches
+    res2 = SinkSet(out_dir=compact_out).compact(
+        spark, max_records_per_file=target)
+    assert res2["rewritten_buckets"] == [], res2
+
 
 def test_vacuum_removes_only_unreferenced_runs(spark, compact_out):
-    # partial compaction leaves old runs referenced by their
-    # non-rewritten buckets (vacuum must NOT touch them); a full
-    # rewrite (min_files_per_partition=1) repoints every non-empty
-    # bucket, orphaning the earlier runs
+    # a full rewrite (min_files_per_partition=1) repoints every
+    # non-empty bucket, orphaning the earlier runs; vacuum must remove
+    # exactly those (and nothing while they are younger than min-age)
     out = compact_out
     res = SinkSet(out_dir=out).compact(spark, min_files_per_partition=1)
     assert res["rewritten_buckets"]
@@ -127,19 +181,31 @@ def test_vacuum_removes_only_unreferenced_runs(spark, compact_out):
 
     sink = SinkSet(out_dir=out)
     n_before = sink.read_routed(spark).count()
-    removed = sink.vacuum()
+
+    # min-age guard: fresh orphans (mtime = now) are NOT touched at the
+    # default threshold — an uncommitted concurrent write looks identical
+    assert sink.vacuum() == []
+    assert set(os.listdir(os.path.join(out, "runs"))) == on_disk
+
+    removed = sink.vacuum(min_age_minutes=0)
     assert set(removed) == on_disk - live
     assert set(os.listdir(os.path.join(out, "runs"))) == live
 
     # the committed table is untouched
     assert SinkSet(out_dir=out).read_routed(spark).count() == n_before
     # idempotent
-    assert SinkSet(out_dir=out).vacuum() == []
+    assert SinkSet(out_dir=out).vacuum(min_age_minutes=0) == []
 
 
-def test_compact_noop_when_already_compact(spark, compact_out):
-    sink = SinkSet(out_dir=compact_out)
-    res = sink.compact(spark)
+def test_compact_noop_when_nothing_sharded(spark, compact_out):
+    # precondition established inside THIS test: one full compaction
+    # brings every partition to 1 file, so a second pass has no subject
+    first = SinkSet(out_dir=compact_out).compact(spark)
+    assert first["rewritten_buckets"]
+    census = _file_census(compact_out)
+    assert all(n == 1 for n in census.values()), census
+
+    res = SinkSet(out_dir=compact_out).compact(spark)
     assert res["rewritten_buckets"] == []
     assert res["files_after"] == res["files_before"]
 
@@ -156,20 +222,22 @@ def test_compact_plan_prunes_and_single_exchange(spark, compact_out):
     (PartitionFilters on the bucket partition column — at 100 TB
     compacting 3 buckets must not list, let alone read, the other
     1021) and the rewrite must cost exactly ONE exchange (the
-    repartition on bucket)."""
+    repartition on bucket). Asserted on the SAME dataflow compact()
+    executes (SinkSet._compaction_plan), so the test cannot drift from
+    the implementation."""
     manifest = load_manifest(compact_out)
     some = [int(b) for b in list(manifest["buckets"])[:2]]
-    run_id = manifest["buckets"][str(some[0])]["run_id"]
-    base = os.path.join(compact_out, "runs", run_id)
-    df = (
-        spark.read.option("basePath", base).parquet(base)
-        .filter(F.col("bucket").isin(some))
-        .repartition(len(some), "bucket")
-        .sortWithinPartitions("bucket", "sink_id", "conv_id", "turn_idx")
-    )
+    by_run: dict[str, list[int]] = {}
+    for b in some:
+        by_run.setdefault(manifest["buckets"][str(b)]["run_id"], []).append(b)
+    df = SinkSet(out_dir=compact_out)._compaction_plan(spark, by_run)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    import re
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "bucket" in pf.group(1), plan
-    assert plan.count("Exchange") == 1, plan
+    # tolerant exchange match: exactly one hash exchange, keyed on
+    # bucket, and no other exchange kinds (range/single partition)
+    exchanges = re.findall(r"Exchange (\w+)\(([^)]*)", plan)
+    assert len(exchanges) == 1, plan
+    kind, keys = exchanges[0]
+    assert kind == "hashpartitioning" and "bucket" in keys, plan

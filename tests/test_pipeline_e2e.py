@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from logparse_spark import pipeline, stages
 from logparse_spark.rules import load_rules
-from logparse_spark.sinks import SinkSet, committed_buckets
+from logparse_spark.sinks import SinkSet, committed_buckets, load_manifest
 from tests import oracle_ref
 
 RULES = "/root/repo/rules/default.rules"
@@ -247,19 +247,22 @@ def test_write_lineage_no_readback_job(spark, fixture_sf_small, tmp_path_factory
 
 
 def test_sink_cardinality_metrics(spark, fixture_sf_small, tmp_path_factory):
-    """Observation-carried approx_count_distinct(conv_id) per sink is
-    within HLL tolerance (5% rsd -> allow 10%) of the exact count."""
+    """Both cardinality paths agree with ground truth: the opt-in
+    write-time HLL Observation within tolerance (5% rsd -> allow 10%),
+    and the default on-demand compute_sink_cardinality exactly."""
     out = str(tmp_path_factory.mktemp("card"))
     pipeline.run(
         spark,
         source_path=f"{fixture_sf_small}/transcripts.parquet",
         out_dir=out, rules_path=RULES, buckets=8,
+        observe_cardinality=True,
     )
     sink = SinkSet(out_dir=out)
-    approx = {
-        r["sink_id"]: r["n_convs_approx"]
-        for r in sink.sink_cardinality_df(spark).collect()
-    }
+    computed = sink.compute_sink_cardinality(spark)
+    by_kind = {"approx": {}, "exact": {}}
+    for r in sink.sink_cardinality_df(spark).collect():
+        by_kind[r["kind"]][r["sink_id"]] = r["n_convs"]
+
     full = spark.read.parquet(f"{fixture_sf_small}/transcripts.parquet")
     from logparse_spark.stages import parse_match
     exact = {
@@ -268,8 +271,46 @@ def test_sink_cardinality_metrics(spark, fixture_sf_small, tmp_path_factory):
         .groupBy("sink_id").agg(F.countDistinct("conv_id").alias("n")).collect()
     }
     for s, n_exact in exact.items():
-        assert s in approx, s
-        assert abs(approx[s] - n_exact) <= max(2, 0.10 * n_exact), (s, approx[s], n_exact)
+        assert s in by_kind["approx"], s
+        assert abs(by_kind["approx"][s] - n_exact) <= max(2, 0.10 * n_exact), (
+            s, by_kind["approx"][s], n_exact)
+        # the on-demand pass is exact and lands in the manifest too
+        assert computed[s] == n_exact, (s, computed[s], n_exact)
+        assert by_kind["exact"][s] == n_exact, (s, by_kind["exact"][s], n_exact)
+
+
+def test_default_write_observes_only_conservation(spark, fixture_sf_small,
+                                                  tmp_path_factory):
+    """The production default must NOT pay the interpreted per-sink HLL
+    metrics (BENCH/LINEAGE.md measured them at ~26% of the sf0.1 job):
+    with observe_cardinality unset, the write's CollectMetrics carries
+    exactly one metric (rows_total) and no approx rows land in the
+    manifest."""
+    out = str(tmp_path_factory.mktemp("nohll"))
+    df = stages.read_transcripts(spark, f"{fixture_sf_small}/transcripts.parquet")
+    cdf = pipeline.classify(df, COMPILED, buckets=4, salt_buckets=2)
+    sink = SinkSet(out_dir=out)
+    lineage = sink.write_classified(cdf, sinks=COMPILED.sink_ids)
+    sink.commit(lineage)
+    manifest_hist = load_manifest(out)["history"]
+    assert all("convs_approx" not in h for h in manifest_hist)
+    assert sink._convs_approx is None
+
+
+def test_aggregate_partition_rows_shapes_lineage():
+    """Unit check of the shared footer/Iceberg-manifest fold — the same
+    helper serves the parquet-footer walk and the Iceberg
+    .entries-derived lineage (sinks.py), so its shape is pinned here
+    without needing the runtime jar."""
+    from logparse_spark.sinks import _aggregate_partition_rows
+
+    got = _aggregate_partition_rows([
+        (0, "auth", 5), (0, "auth", 3), (0, "ignored", 2), (1, "auth", 7),
+    ])
+    assert got == {
+        0: {"rows": 10, "sinks": {"auth": 8, "ignored": 2}},
+        1: {"rows": 7, "sinks": {"auth": 7}},
+    }
 
 
 def test_read_routed_prunes_bucket_partitions(spark, fixture_sf_small, tmp_path_factory):
