@@ -545,6 +545,84 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_topk(scored, 5)
 
 
+def build_ann_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    n_tables: int = 2,
+    k_cells: int = 4,
+) -> str:
+    """Materialize the ANN index ONCE so query workloads never re-derive
+    it (round-2 gap: ann_search recomputed signatures per call while its
+    docstring claimed a persisted layout).
+
+    Two layouts, both laid out so a probe workload is answered by
+    PARTITION PRUNING at the scan (asserted in tests/test_plans.py):
+      - ``<index_dir>/lsh``: the (t, bucket)-exploded hyperplane
+        signatures, written ``partitionBy("t", "bucket")`` — a probe
+        touches n_tables x |masks| / 64 of the directories, never a
+        full scan.
+      - ``<index_dir>/ivf``: every vector tagged with its max-cosine
+        centroid cell, written ``partitionBy("cell")`` — a query reads
+        its nprobe cells, ~nprobe/K of the data.
+
+    Build cost shape at 100 TB: the signature explode is a narrow map;
+    the single ``repartition(t, bucket)`` (resp. ``cell``) exchange
+    exists purely for file locality — each output partition is then
+    written by the tasks that own it, one file per partition per task,
+    instead of every task spraying a file into all n_tables x 64 dirs.
+    A one-time cost amortized over every probe thereafter (the same
+    trade Iceberg bucket-partitioning makes for the transcripts table).
+    """
+    emb = _emb(spark, sf_dir)
+    sigs = F.array(*[_lsh_bucket_col(table=t) for t in range(n_tables)])
+    (
+        emb.select("vec_id", "embedding", F.posexplode(sigs).alias("t", "bucket"))
+        .repartition("t", "bucket")
+        .write.mode("overwrite").partitionBy("t", "bucket")
+        .parquet(os.path.join(index_dir, "lsh"))
+    )
+    cents = emb.filter(F.col("vec_id") < k_cells).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    csim = _dot_col("embedding", "ce") / (
+        F.sqrt(_dot_col("embedding", "embedding")) * F.sqrt(_dot_col("ce", "ce"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    cells = (
+        emb.crossJoin(F.broadcast(cents)).withColumn("csim", csim)
+        .withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", F.col("cid").alias("cell"), "embedding")
+    )
+    (
+        cells.repartition("cell")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(os.path.join(index_dir, "ivf"))
+    )
+    return index_dir
+
+
+# (sf_dir, n_tables) -> materialized index dir, built once per process;
+# registry queries route through this so the driver's hash check covers
+# the persisted-index read path, not just the on-the-fly derivation
+_ANN_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def ensure_ann_index(spark: SparkSession, sf_dir: str, n_tables: int = 2) -> str:
+    key = (os.path.abspath(sf_dir), n_tables)
+    path = _ANN_INDEX_CACHE.get(key)
+    if path is None or not os.path.isdir(os.path.join(path, "lsh")):
+        import tempfile
+
+        path = build_ann_index(
+            spark, sf_dir, tempfile.mkdtemp(prefix="logparse_ann_index_"),
+            n_tables=n_tables,
+        )
+        _ANN_INDEX_CACHE[key] = path
+    return path
+
+
 def ann_search(
     spark: SparkSession,
     sf_dir: str,
@@ -554,6 +632,7 @@ def ann_search(
     nprobe: int = 2,
     n_tables: int = 2,
     probe_radius: int = 1,
+    index_dir: str | None = None,
 ) -> DataFrame:
     """Batched ANN: ONE pass over the embeddings table answers EVERY
     query at once — the realistic 100 TB shape (a query workload is a
@@ -575,14 +654,21 @@ def ann_search(
       (K=4 deterministic centroids = vec_id 0..3); each query probes
       its ``nprobe`` nearest cells (equi-join on cell id).
 
-    Scale shape: the data side is written ``partitionBy(t, bucket)``
-    (resp. ``cell``); a query workload touches only matching partitions
-    — n_tables×(1+6×radius…)/64 of the index, never a full scan.
-    Per-query top-k is a rank window partitioned by qid — Spark >=3.5
-    plans the rank filter as WindowGroupLimit (partial per-partition
-    top-k BEFORE the shuffle, asserted in tests/test_plans.py), so the
-    exchange carries <= k rows per (query, input partition), never the
-    full scored set."""
+    Scale shape: pass ``index_dir`` (from :func:`build_ann_index`) and
+    the data side READS the materialized index — written
+    ``partitionBy(t, bucket)`` (resp. ``cell``) — with the probe
+    workload's (t, bucket) pairs pushed as a STATIC partition filter,
+    so the scan prunes to n_tables×|masks|/64 of the index directories
+    and never full-scans (PartitionFilters + inputFiles asserted in
+    tests/test_plans.py). Deriving the pair list is a driver-side
+    collect of the PROBE relation only — queries × tables × masks
+    rows, the same small relation that gets broadcast anyway, never
+    the data side. Without ``index_dir`` the signatures are derived on
+    the fly (the verifiable-oracle path). Per-query top-k is a rank
+    window partitioned by qid — Spark >=3.5 plans the rank filter as
+    WindowGroupLimit (partial per-partition top-k BEFORE the shuffle,
+    asserted in tests/test_plans.py), so the exchange carries <= k
+    rows per (query, input partition), never the full scored set."""
     ids = [int(i) for i in query_ids]
     emb = _emb(spark, sf_dir)
     if method == "brute":
@@ -592,9 +678,12 @@ def ann_search(
         cand = emb.crossJoin(F.broadcast(qs))
     elif method == "lsh":
         sigs = F.array(*[_lsh_bucket_col(table=t) for t in range(n_tables)])
-        indexed = emb.select(
-            "vec_id", "embedding", F.posexplode(sigs).alias("t", "bucket")
-        )
+        if index_dir is not None:
+            indexed = spark.read.parquet(os.path.join(index_dir, "lsh"))
+        else:
+            indexed = emb.select(
+                "vec_id", "embedding", F.posexplode(sigs).alias("t", "bucket")
+            )
         # probe masks: all 6-bit masks with popcount <= probe_radius
         masks = [m for m in range(64) if bin(m).count("1") <= probe_radius]
         qsig = emb.filter(F.col("vec_id").isin(ids)).select(
@@ -610,6 +699,20 @@ def ann_search(
                 F.array(*[F.col("qsig").bitwiseXOR(F.lit(m)) for m in masks])
             ).alias("qbucket"),
         )
+        if index_dir is not None:
+            # static partition pruning: collect the tiny probe relation
+            # (queries x tables x masks rows — the side that is
+            # broadcast anyway) and push its (t, bucket) pairs as a
+            # literal filter, so the scan plans PartitionFilters and
+            # lists/reads only the probed index directories
+            by_t: dict[int, set] = {}
+            for r in probes.select("qt", "qbucket").distinct().collect():
+                by_t.setdefault(int(r["qt"]), set()).add(int(r["qbucket"]))
+            cond = None
+            for t, bs in sorted(by_t.items()):
+                c = (F.col("t") == t) & F.col("bucket").isin(sorted(bs))
+                cond = c if cond is None else (cond | c)
+            indexed = indexed.filter(cond)
         cand = indexed.join(
             F.broadcast(probes),
             (F.col("t") == F.col("qt")) & (F.col("bucket") == F.col("qbucket")),
@@ -636,16 +739,31 @@ def ann_search(
             F.sqrt(_dot_col("embedding", "embedding"))
             * F.sqrt(_dot_col("ce", "ce"))
         )
-        assigned = emb.crossJoin(F.broadcast(cents)).withColumn("csim", csim)
         w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-        ranked = assigned.withColumn("crk", F.row_number().over(w))
-        cells = ranked.filter(F.col("crk") == 1).select(
-            "vec_id", F.col("cid").alias("cell"), "embedding"
-        )
+        if index_dir is not None:
+            cells = spark.read.parquet(os.path.join(index_dir, "ivf"))
+            # cell ranking for the QUERY vectors only (probe side)
+            ranked = (
+                emb.filter(F.col("vec_id").isin(ids))
+                .crossJoin(F.broadcast(cents)).withColumn("csim", csim)
+                .withColumn("crk", F.row_number().over(w))
+            )
+        else:
+            assigned = emb.crossJoin(F.broadcast(cents)).withColumn("csim", csim)
+            ranked = assigned.withColumn("crk", F.row_number().over(w))
+            cells = ranked.filter(F.col("crk") == 1).select(
+                "vec_id", F.col("cid").alias("cell"), "embedding"
+            )
         # nprobe nearest cells per query: (qid, pcell) pairs, broadcast
         probes = ranked.filter(
             F.col("vec_id").isin(ids) & (F.col("crk") <= nprobe)
         ).select(F.col("vec_id").alias("qid"), F.col("cid").alias("pcell"))
+        if index_dir is not None:
+            # static pruning on the cell partition column (see lsh arm)
+            pcells = sorted(
+                {int(r["pcell"]) for r in probes.select("pcell").distinct().collect()}
+            )
+            cells = cells.filter(F.col("cell").isin(pcells))
         qs = emb.filter(F.col("vec_id").isin(ids)).select(
             F.col("vec_id").alias("pqid"), F.col("embedding").alias("qe")
         )
@@ -835,6 +953,9 @@ def corpus_oracles() -> dict[str, str]:
     nb_bp = _dot64("b.embedding", "b.embedding", "duckdb")
     np_bp = _dot64("p.qe", "p.qe", "duckdb")
     sim_bp = f"({dot_bp} / (sqrt({nb_bp}) * sqrt({np_bp})))"
+    # multi-probe masks for the batched-ANN arm: Hamming radius 2 over
+    # 6 bits (must mirror q_ann_bucketed's probe_radius=2 exactly)
+    masks_r2 = ", ".join(f"({m})" for m in range(64) if bin(m).count("1") <= 2)
     dot_ab = _dot64("a.embedding", "b.embedding", "duckdb")
     na_a = _dot64("a.embedding", "a.embedding", "duckdb")
     nb_b = _dot64("b.embedding", "b.embedding", "duckdb")
@@ -1053,7 +1174,7 @@ def corpus_oracles() -> dict[str, str]:
             ),
             p AS (
               SELECT q.qid, q.qe, q.qt, xor(q.qsig, m.m) AS qbucket
-              FROM q, (VALUES (0), (1), (2), (4), (8), (16), (32)) m(m)
+              FROM q, (VALUES {masks_r2}) m(m)
             ),
             scored AS (
               SELECT p.qid, b.vec_id, round({sim_bp}, 6) AS sim_r
@@ -1195,10 +1316,15 @@ def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH (method='lsh') and IVF coarse-quantizer nprobe=2
     (method='ivf'), each an exact top-5 re-rank inside its probed
     bucket(s) only — plus the batched multi-table multi-probe form
-    (method='batchN' for query N): ONE pass answers queries 1..3 with
-    2 independent hyperplane tables and Hamming probe radius 1, the
-    configuration BENCH/RECALL.md measures at recall 0.43 scanning
-    <=22% of the index."""
+    (method='batchN' for query N): ONE pass answers queries 1..3
+    through the PERSISTED partitionBy(t, bucket) index
+    (build_ann_index — partition pruning asserted in
+    tests/test_plans.py) with 2 independent hyperplane tables and
+    Hamming probe radius 2 — the production-grade config
+    BENCH/RECALL.md measures at recall 0.828 scanning ~69% of this
+    64-bucket fixture (at a production bit-width the probed fraction
+    shrinks geometrically; radius-2/tables-2 is the shipping recall
+    point, radius 1 the cheap one)."""
     lsh = q_ann_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "rk", "vec_id", "sim_r"
     )
@@ -1206,7 +1332,8 @@ def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf").alias("method"), "rk", "vec_id", "sim_r"
     )
     batch = ann_search(
-        spark, sf_dir, "lsh", query_ids=[1, 2, 3], k=5, n_tables=2, probe_radius=1
+        spark, sf_dir, "lsh", query_ids=[1, 2, 3], k=5, n_tables=2,
+        probe_radius=2, index_dir=ensure_ann_index(spark, sf_dir, n_tables=2),
     ).select(
         F.concat(F.lit("batch"), F.col("qid").cast("string")).alias("method"),
         "rk",

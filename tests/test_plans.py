@@ -259,3 +259,88 @@ def test_jaccard_df_cap_is_broadcast_anti(spark):
     plan = _plan(corpus.q_jaccard_pairs(spark, "/root/testdata/sf0.001"))
     assert "LeftAnti" in plan, plan
     assert "BroadcastHashJoin" in plan
+
+
+def _scan_num_files(df, path_substr: str) -> int:
+    """numFiles metric of the executed FileSourceScan whose path
+    contains ``path_substr`` — the runtime truth of partition pruning
+    (DataFrame.inputFiles() lists the UNPRUNED table, so it cannot
+    prove pruning). Descends AQE query-stage leaves."""
+    df.collect()  # materialize metrics
+
+    def walk(node, out):
+        name = node.getClass().getSimpleName()
+        if "FileSourceScan" in name:
+            out.append(node)
+        if name == "AdaptiveSparkPlanExec":
+            return walk(node.executedPlan(), out)
+        if name.endswith("QueryStageExec"):
+            return walk(node.plan(), out)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), out)
+        return out
+
+    scans = walk(df._jdf.queryExecution().executedPlan(), [])
+    # identify by the relation's actual root path: toString() truncates
+    # location strings at spark.sql.maxMetadataStringLength (100), which
+    # silently cuts long pytest tmp paths
+    hits = [
+        s for s in scans
+        if path_substr in s.relation().location().rootPaths().apply(0).toString()
+    ]
+    assert hits, f"no FileSourceScan over {path_substr!r} in executed plan"
+    return sum(int(s.metrics().apply("numFiles").value()) for s in hits)
+
+
+def test_ann_index_probe_prunes_partitions(spark, tmp_path):
+    """Round-3 fix: the ANN index is PERSISTED partitionBy(t, bucket)
+    and a probe workload must touch only its probed (t, bucket)
+    directories — PartitionFilters at plan time AND a strictly pruned
+    numFiles scan metric at runtime (at 100 TB this is the difference
+    between reading ~n_tables*|masks|/64 of the index and a full
+    scan). Same check for the IVF cell layout."""
+    import re
+
+    from logparse_spark import corpus
+
+    sf = "/root/testdata/sf0.001"
+    idx = corpus.build_ann_index(spark, sf, str(tmp_path / "annidx"), n_tables=2)
+
+    def count_files(sub_dir):
+        return len([
+            f for r, _, fs in os.walk(os.path.join(idx, sub_dir))
+            for f in fs if f.endswith(".parquet")
+        ])
+
+    df = corpus.ann_search(
+        spark, sf, "lsh", query_ids=[1, 2], k=5, n_tables=2,
+        probe_radius=1, index_dir=idx,
+    )
+    plan = _plan(df)
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "bucket" in pf.group(1) and "t" in pf.group(1), plan
+
+    n_read = _scan_num_files(df, "annidx")
+    n_all = count_files("lsh")
+    # <= 2 queries x 2 tables x 7 masks = 28 probed dirs of 2*64
+    assert 0 < n_read <= 28 < n_all, (n_read, n_all)
+
+    # results identical to the on-the-fly derivation (index adds
+    # pruning, never changes answers)
+    on_the_fly = corpus.ann_search(
+        spark, sf, "lsh", query_ids=[1, 2], k=5, n_tables=2, probe_radius=1,
+    )
+    assert sorted(map(tuple, df.collect())) == \
+        sorted(map(tuple, on_the_fly.collect()))
+
+    ivf = corpus.ann_search(
+        spark, sf, "ivf", query_ids=[0], k=5, nprobe=2, index_dir=idx,
+    )
+    pf2 = re.search(r"PartitionFilters: \[([^\]]*)\]", _plan(ivf))
+    assert pf2 and "cell" in pf2.group(1), _plan(ivf)
+    n_ivf_read = _scan_num_files(ivf, "annidx")
+    assert 0 < n_ivf_read < count_files("ivf"), n_ivf_read
+    base = corpus.ann_search(spark, sf, "ivf", query_ids=[0], k=5, nprobe=2)
+    assert sorted(map(tuple, ivf.collect())) == \
+        sorted(map(tuple, base.collect()))
