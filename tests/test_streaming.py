@@ -358,3 +358,84 @@ def test_dedup_stream_exactly_once_across_batches(spark, tmp_path):
         .select("conv_id", "turn_idx").collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_dedup_stream_resume_from_checkpoint_e2e(spark, tmp_path):
+    """Round-3 e2e: dedup_stream -> foreachBatch fan-out sink, stopped
+    and RESUMED from the same checkpoint after new files (including
+    re-deliveries of already-processed rows) arrive. Locks in:
+      (a) the file source does not reprocess drained files on restart;
+      (b) dropDuplicatesWithinWatermark state SURVIVES the restart —
+          rows re-sent after the stop are still collapsed;
+      (c) the combined sink equals the batch dedup+route of everything
+          delivered (exactly-once end to end);
+      (d) the layout guard refuses to resume onto a sink whose layout
+          marker is stale instead of corrupting it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logparse_spark import stages, streaming
+    from logparse_spark.rules import load_rules
+
+    compiled = load_rules("/root/repo/rules/default.rules")
+    src = tmp_path / "resume_src"
+    src.mkdir()
+    out = str(tmp_path / "resume_out")
+    cp = str(tmp_path / "resume_cp")
+    base = {
+        "conv_id": [f"c{i}" for i in range(20)],
+        "turn_idx": pa.array(list(range(20)), type=pa.int32()),
+        "role": ["user"] * 20,
+        "text": [f"error code={i}" for i in range(20)],
+        "tool": pa.array([None] * 20, type=pa.string()),
+        "ts": pa.array(
+            [1_700_000_000_000_000 + i * 60_000_000 for i in range(20)],
+            type=pa.timestamp("us"),
+        ),
+    }
+    t = pa.table(base)
+    pq.write_table(t.slice(0, 15), str(src / "a.parquet"))
+
+    def run_once():
+        sdf = streaming.stream_transcripts(spark, str(src))
+        deduped = streaming.dedup_stream(
+            sdf, keys=["conv_id", "turn_idx"], watermark="365 days"
+        )
+        q = (
+            deduped.writeStream
+            .foreachBatch(streaming.make_batch_writer(compiled, out))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # drains file a, then the query stops (the "kill")
+    n_first = spark.read.parquet(os.path.join(out, "routed")).count()
+    assert n_first > 0
+
+    # while the stream is down: 5 re-deliveries (rows 10..14) + 5 new
+    pq.write_table(t.slice(10, 10), str(src / "b.parquet"))
+    run_once()  # resume from the same checkpoint
+
+    routed_out = spark.read.parquet(os.path.join(out, "routed"))
+    # (a)+(b): every (conv, turn) lands exactly once across ALL batches
+    assert routed_out.groupBy("conv_id", "turn_idx").count() \
+        .filter("count > 1").count() == 0
+    # the resume processed the genuinely-new rows
+    assert routed_out.count() > n_first
+
+    # (c) end-to-end equality with the batch reference
+    ref = stages.routed(stages.parse_match(
+        spark.read.parquet(str(src)).dropDuplicates(["conv_id", "turn_idx"]),
+        compiled,
+    )).select("sink_id", "conv_id", "turn_idx")
+    got = routed_out.select("sink_id", "conv_id", "turn_idx")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, ref.collect()))
+
+    # (d) stale-layout sink: the writer must refuse at build time
+    with open(os.path.join(out, "routed", "_LAYOUT"), "w") as f:
+        f.write("sink_id/v0\n")
+    with pytest.raises(RuntimeError, match="layout"):
+        streaming.make_batch_writer(compiled, out)
