@@ -41,6 +41,14 @@ def main() -> None:
     p.add_argument("--table", default=None,
                    help="iceberg table identifier (cat.db.name)")
     p.add_argument("--report", default=None, help="write the LogParse-style text report here")
+    p.add_argument("--observe-cardinality", action="store_true",
+                   help="record per-sink HLL conv cardinality inline with the "
+                        "write (interpreted per-row cost, BENCH/LINEAGE.md); "
+                        "default: exact cardinality on demand at report time")
+    p.add_argument("--sink-cardinality", action="store_true",
+                   help="after the run, compute exact per-sink conv "
+                        "cardinality over the committed table and record it "
+                        "in the manifest")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -65,7 +73,13 @@ def main() -> None:
         engine=args.engine,
         sink_format=args.format,
         sink_table=args.table,
+        observe_cardinality=args.observe_cardinality,
     )
+    cardinality = None
+    if args.sink_cardinality:
+        from logparse_spark.sinks import SinkSet
+
+        cardinality = SinkSet(out_dir=args.out).compute_sink_cardinality(spark)
     if args.report:
         report = pipeline.render_report(spark, args.out, load_rules(args.rules))
         with open(args.report, "w", encoding="utf-8") as f:
@@ -75,6 +89,7 @@ def main() -> None:
         "processed_buckets": len(result.processed_buckets),
         "skipped_buckets": len(result.skipped_buckets),
         "rows": result.total_rows_processed,
+        **({"sink_cardinality": cardinality} if cardinality else {}),
     }))
     spark.stop()
 
