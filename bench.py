@@ -372,10 +372,40 @@ def run_scaling(sf: str = SCALE_SF) -> dict:
     # windows without ever looking at the job's own numbers (it is not
     # best-of-N cherry-picking). Level order alternates per round so a
     # monotone warming/drift trend biases half the rounds each way.
+    # PRE-ROUND WAIT GATE (opt-in via SPARK_GRAFT_SCALE_WAIT_MIN): a
+    # paired round costs ~8 min of sf10 runs, and three full round-2
+    # attempts burned ~3h discovering post-hoc that the hypervisor
+    # never delivered 4x compute. When a wait budget is set, each round
+    # first runs the SAME fixed-work probe at both levels (~1 min, no
+    # Spark) and sleeps until it reads >= ENV_GATE — i.e. the attempt
+    # waits out bad windows cheaply instead of measuring through them.
+    # This does not relax validity: the authoritative gate remains the
+    # in-round probe, and skipped waits are recorded in the attempt log.
+    wait_min = float(os.environ.get("SPARK_GRAFT_SCALE_WAIT_MIN", "0"))
+    deadline = time.monotonic() + wait_min * 60
+    pre_skips: list[float] = []
+    aborted_waiting = False
     rounds = []
     want_valid, max_rounds = 3, 6
     while len([r for r in rounds if r["valid"]]) < want_valid \
             and len(rounds) < max_rounds:
+        if wait_min:
+            while True:
+                qenv = round((_cpu_probe(lo) / _cpu_probe(hi)) / factor, 3)
+                if qenv >= ENV_GATE:
+                    print(f"[scaling] pre-round probe {qenv} >= {ENV_GATE}; "
+                          "starting round", file=sys.stderr)
+                    break
+                pre_skips.append(qenv)
+                if time.monotonic() >= deadline:
+                    aborted_waiting = True
+                    break
+                left = max(0.0, (deadline - time.monotonic()) / 60)
+                print(f"[scaling] pre-round probe {qenv} < {ENV_GATE}; "
+                      f"waiting ({left:.0f} min budget left)", file=sys.stderr)
+                time.sleep(90)
+            if aborted_waiting:
+                break
         pair = (lo, hi) if len(rounds) % 2 == 0 else (hi, lo)
         got = {c: one(c) for c in pair}
         a, b = got[lo], got[hi]
@@ -390,6 +420,24 @@ def run_scaling(sf: str = SCALE_SF) -> dict:
             "lo": a, "hi": b,
         })
     n_valid = len([r for r in rounds if r["valid"]])
+    if not rounds:
+        # wait budget ran out before any healthy window appeared:
+        # nothing was measured at all — emit an attempt log only
+        return {
+            "metric": f"scaling efficiency local[{lo}] -> local[{hi}] "
+                      "(N -> 4N proxy)",
+            "value": None,
+            "unit": "efficiency",
+            "sf": sf,
+            "levels": [lo, hi],
+            "rounds": [],
+            "env_gate": ENV_GATE,
+            "wait_budget_min": wait_min,
+            "pre_gate_skips": pre_skips,
+            "aborted_waiting_for_window": True,
+            "n_valid_rounds": 0,
+            "inconclusive": True,
+        }
     scored = [r for r in rounds if r["valid"]] or rounds
     effs = sorted(r["eff"] for r in scored)
     eff = effs[len(effs) // 2]
@@ -409,6 +457,9 @@ def run_scaling(sf: str = SCALE_SF) -> dict:
             for r in rounds
         ],
         "env_gate": ENV_GATE,
+        "wait_budget_min": wait_min,
+        "pre_gate_skips": pre_skips,
+        "aborted_waiting_for_window": aborted_waiting,
         "n_valid_rounds": len([r for r in rounds if r["valid"]]),
         "local_lo": results[lo],
         "local_hi": results[hi],
