@@ -94,6 +94,43 @@ def main() -> None:
         fmt_plan(batch),
     ))
 
+    probed = corpus.ann_search(
+        spark, sf, "lsh", query_ids=[0, 1, 2], k=5, n_tables=2,
+        probe_radius=1, index_dir=corpus.ensure_ann_index(spark, sf, n_tables=2),
+    )
+    sections.append((
+        "Persisted-index ANN probe (ann_search over build_ann_index's "
+        "partitionBy(t, bucket) layout)",
+        "Must hold: the index scan carries PartitionFilters on "
+        "(t, bucket) built from the probe workload — the scan lists "
+        "and reads ONLY the probed partition directories (numFiles "
+        "fraction asserted in tests/test_plans.py: 28/128 at radius 1) "
+        "— plus the same broadcast/dedup/WindowGroupLimit shape as the "
+        "on-the-fly arm above.",
+        fmt_plan(probed),
+    ))
+
+    from logparse_spark.sinks import SinkSet
+
+    import tempfile
+
+    sink_dir = tempfile.mkdtemp(prefix="plans_sink_")
+    sink = SinkSet(out_dir=sink_dir)
+    lineage = sink.write_classified(cdf, sinks=compiled.sink_ids)
+    sink.commit(lineage)
+    compaction = sink._compaction_plan(spark, sink._committed_by_run())
+    sections.append((
+        "Compaction rewrite (SinkSet.compact: Iceberg rewrite_data_files "
+        "stand-in)",
+        "Must hold: the scan is partition-pruned to the committed "
+        "buckets being rewritten (PartitionFilters on bucket); exactly "
+        "ONE Exchange (the hashpartitioning(bucket) that co-locates "
+        "each bucket into one writer task); the per-task sort satisfies "
+        "the dynamic-partition writer's required ordering so no extra "
+        "write-side sort is inserted.",
+        fmt_plan(compaction),
+    ))
+
     tfidf = corpus.CORPUS_QUERIES["tfidf_terms"](spark, sf)
     sections.append((
         "Global TF-IDF top-30 terms",
