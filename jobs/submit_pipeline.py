@@ -29,7 +29,10 @@ def main() -> None:
     p.add_argument("--out", required=True, help="sink output root")
     p.add_argument("--rules", default="rules/default.rules")
     p.add_argument("--dict-dir", default=None, help="role/tool dict parquet dir")
-    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--buckets", default="auto",
+                   help="output bucket count, or 'auto' to size from the "
+                        "input's row count (rows-per-bucket invariant; "
+                        "recorded in the manifest and reused on resume)")
     p.add_argument("--salt-buckets", type=int, default=8)
     p.add_argument("--groups", type=int, default=1,
                    help="commit granularity: bucket groups per run")
@@ -65,7 +68,7 @@ def main() -> None:
         out_dir=args.out,
         rules_path=args.rules,
         dict_dir=args.dict_dir,
-        buckets=args.buckets,
+        buckets=args.buckets if args.buckets == "auto" else int(args.buckets),
         salt_buckets=args.salt_buckets,
         groups=args.groups,
         resume=not args.no_resume,

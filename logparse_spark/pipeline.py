@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from . import stages
 from .rules import CompiledRules, load_rules
-from .sinks import SinkSet, committed_buckets
+from .sinks import SinkSet, committed_buckets, load_manifest
 
 
 @dataclass
@@ -75,7 +75,7 @@ def run(
     out_dir: str,
     rules_path: str = "/root/repo/rules/default.rules",
     dict_dir: str | None = None,
-    buckets: int = 64,
+    buckets: int | str = 64,  # int, or "auto" (stages.auto_bucket_count)
     salt_buckets: int = 8,
     groups: int = 1,
     resume: bool = True,
@@ -89,6 +89,24 @@ def run(
     compiled = load_rules(rules_path)
     stages.tune_scan_splits(spark, source_path)
     df = stages.read_transcripts(spark, source_path)
+
+    # resolve the bucket count BEFORE looking at committed state:
+    # bucket ids are only meaningful modulo the count that produced
+    # them, so a resumed/append run must reuse the manifest's recorded
+    # count. "auto" sizes from the input (rows-per-bucket invariant,
+    # stages.auto_bucket_count) on the first run and reads the
+    # manifest thereafter; an explicit count that contradicts the
+    # manifest fails fast here rather than corrupting bucket identity.
+    recorded = load_manifest(out_dir).get("n_buckets")
+    if buckets == "auto":
+        buckets = int(recorded) if recorded is not None \
+            else stages.auto_bucket_count(spark, source_path)
+    elif resume and recorded is not None and int(recorded) != int(buckets):
+        raise ValueError(
+            f"resume with buckets={buckets} but {out_dir} was committed "
+            f"with n_buckets={recorded}; pass buckets='auto' or "
+            f"buckets={recorded}"
+        )
 
     role_dict = tool_dict = None
     if dict_dir:
@@ -132,7 +150,8 @@ def run(
         # buckets with zero rows still need committing
         for b in group:
             lineage.setdefault(b, {"rows": 0, "sinks": {}})
-        sink.commit(lineage, extra={"group": gi, "n_groups": len(bucket_groups)})
+        sink.commit(lineage, extra={"group": gi, "n_groups": len(bucket_groups)},
+                    n_buckets=buckets)
         processed.extend(group)
         total_rows += sum(e["rows"] for e in lineage.values())
 

@@ -290,9 +290,29 @@ class SinkSet:
             triples.append((int(parts["bucket"]), parts["sink_id"], n))
         return _aggregate_partition_rows(triples)
 
-    def commit(self, lineage: dict[int, dict], extra: dict | None = None) -> None:
-        """Atomically publish buckets (the Iceberg-snapshot stand-in)."""
+    def commit(self, lineage: dict[int, dict], extra: dict | None = None,
+               n_buckets: int | None = None) -> None:
+        """Atomically publish buckets (the Iceberg-snapshot stand-in).
+
+        ``n_buckets`` pins the TOTAL bucket-space size in the manifest
+        on first commit: bucket ids are only meaningful modulo the
+        count that produced them, so a later commit (resume, append)
+        under a different count would silently scatter each
+        conversation across unrelated bucket ids. Mismatches raise
+        here instead (the table-format analogue: Iceberg stores the
+        bucket transform's N in the partition spec and never lets two
+        specs share ids)."""
         manifest = load_manifest(self.out_dir)
+        if n_buckets is not None:
+            prev = manifest.get("n_buckets")
+            if prev is not None and int(prev) != int(n_buckets):
+                raise ValueError(
+                    f"commit with n_buckets={n_buckets} but {self.out_dir} "
+                    f"was committed under n_buckets={prev}; bucket ids are "
+                    "not comparable across counts — resume with the "
+                    "recorded count (buckets='auto' does this)"
+                )
+            manifest["n_buckets"] = int(n_buckets)
         for b, entry in lineage.items():
             manifest["buckets"][str(b)] = {
                 "run_id": self.run_id,

@@ -49,6 +49,49 @@ def tune_scan_splits(spark: SparkSession, path: str, waves: int = 8,
     return target
 
 
+def auto_bucket_count(spark: SparkSession, path: str,
+                      target_rows: int = 250_000,
+                      lo: int | None = None, hi: int = 1 << 20) -> int:
+    """Size the output bucket count from the INPUT, not a constant.
+
+    A fixed bucket count is wrong at both ends of the scale axis: 64
+    buckets over 100 TB means ~1.5 TB per writer-task sort (spills,
+    then OOM), while 4096 buckets over a 600k-row test run means
+    thousands of near-empty files. The scale-stable invariant is
+    ROWS PER BUCKET — the per-task sort must fit the executor's
+    execution-memory share (see :func:`bucket_and_salt`'s sizing
+    note; ~250k transcript turns sorts in-memory on a 1.75 g/core
+    heap with headroom, the bench-measured sf10 setting).
+
+    Row count comes from the input's parquet FOOTERS (driver-side
+    metadata walk, O(files) — the same pattern as the lineage
+    protocol; on an Iceberg deployment the snapshot's
+    ``total-records`` summary field gives the identical number in one
+    metadata read). The result is rounded up to a power of two —
+    doubling-stable as data grows — and clamped to at least the
+    cluster parallelism (fewer buckets than cores would idle cores
+    through the whole write stage) and at most ``hi``.
+    """
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = 0
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            rows += sum(
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for f in files if f.endswith(".parquet")
+            )
+    elif os.path.exists(path):
+        rows = pq.ParquetFile(path).metadata.num_rows
+    lo = lo or spark.sparkContext.defaultParallelism
+    need = max(1, math.ceil(rows / target_rows))
+    b = 1 << (need - 1).bit_length()
+    return max(lo, min(hi, b))
+
+
 def read_transcripts_union(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Multi-source union (S2): schema-aligned unionByName."""
     dfs = [read_transcripts(spark, p) for p in paths]

@@ -330,3 +330,36 @@ def test_read_routed_prunes_bucket_partitions(spark, fixture_sf_small, tmp_path_
     # pruned scan reads only the asked-for buckets' rows
     got_buckets = {r["bucket"] for r in routed.select("bucket").distinct().collect()}
     assert got_buckets <= {1, 3}
+
+
+def test_auto_bucket_count_scales_with_input(spark, fixture_sf_small):
+    """buckets='auto' keeps the rows-per-bucket invariant: tiny targets
+    mean more (power-of-two) buckets, huge targets clamp to the
+    parallelism floor, and `hi` caps the count."""
+    src = f"{fixture_sf_small}/transcripts.parquet"
+    small = stages.auto_bucket_count(spark, src, target_rows=10, lo=4)
+    big = stages.auto_bucket_count(spark, src, target_rows=10**9, lo=4)
+    assert big == 4  # floor: never fewer buckets than cores
+    assert small > big
+    assert small & (small - 1) == 0  # power of two (doubling-stable)
+    assert stages.auto_bucket_count(spark, src, target_rows=1, lo=4, hi=64) == 64
+
+
+def test_auto_buckets_recorded_and_resume_guard(spark, fixture_sf_small,
+                                                tmp_path_factory):
+    """The resolved auto count is pinned in the manifest; a resumed
+    'auto' run reuses it (no recompute drift), and an explicit count
+    that contradicts the manifest fails fast instead of scattering
+    conversations across incomparable bucket ids."""
+    out = str(tmp_path_factory.mktemp("autob"))
+    src = f"{fixture_sf_small}/transcripts.parquet"
+    res = pipeline.run(spark, source_path=src, out_dir=out, rules_path=RULES,
+                       buckets="auto")
+    n = load_manifest(out)["n_buckets"]
+    assert len(res.processed_buckets) == n
+    res2 = pipeline.run(spark, source_path=src, out_dir=out, rules_path=RULES,
+                        buckets="auto")
+    assert res2.processed_buckets == [] and len(res2.skipped_buckets) == n
+    with pytest.raises(ValueError, match="n_buckets"):
+        pipeline.run(spark, source_path=src, out_dir=out, rules_path=RULES,
+                     buckets=n + 1)
