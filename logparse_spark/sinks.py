@@ -457,6 +457,17 @@ class SinkSet:
         count already matches ceil(rows / target) (so re-running with
         the same target is a no-op, not a rewrite loop).
 
+        Known straggler bound: the rewrite is one TASK per bucket
+        (``_compaction_plan``), so a bucket far above the
+        rows-per-bucket invariant sorts on one core even when
+        ``max_records_per_file`` splits its output. The invariant is
+        maintained upstream — ``auto_bucket_count`` sizes the bucket
+        space to ~250k rows/bucket and hot conversations are salted at
+        write time — so a pathological bucket here means the table's
+        bucket count needs doubling (a full-table rewrite under a new
+        ``n_buckets``), the same operational answer as Iceberg's
+        bucket-transform evolution.
+
         Safety: the rewrite lands in a NEW run dir; the manifest swap
         happens only after parquet-footer counts from the new files
         match the committed lineage exactly (same conservation check
