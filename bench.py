@@ -136,15 +136,20 @@ def run_pipeline_e2e(spark, sf: str, out_dir: str,
     n_turns = df.count()  # warm page cache + JVM; excluded from timing
 
     t0 = time.monotonic()
-    hot = stages.detect_hot_convs(
-        df, threshold=max(100, n_turns // 1000), sample_fraction=0.02
-    )
     # bucket count sized to the table, like Iceberg bucket partitioning:
     # ~250k rows per bucket keeps each write task's sort inside its
     # execution-memory share at the highest parallelism level (at 64
     # buckets / 32 cores on sf10 the sorts spilled, adding 90s to a
     # 128s run), while small inputs avoid a blizzard of tiny files
     buckets = min(1024, max(16, 1 << (n_turns // 250_000).bit_length()))
+    # hot threshold is BUCKET-relative (stages.hot_conv_threshold): a
+    # table-relative n//1000 marked ~300 mid-size convs hot at sf0.1
+    # and the salt fan-out 8x'd the write's file count for zero
+    # straggler benefit
+    hot = stages.detect_hot_convs(
+        df, threshold=stages.hot_conv_threshold(n_turns, buckets),
+        sample_fraction=0.02
+    )
     cdf = pipeline.classify(df, compiled, role_dict, tool_dict,
                             buckets=buckets, salt_buckets=8, hot_convs=hot,
                             engine=engine)

@@ -37,7 +37,11 @@ def main() -> None:
     p.add_argument("--groups", type=int, default=1,
                    help="commit granularity: bucket groups per run")
     p.add_argument("--no-resume", action="store_true")
-    p.add_argument("--hot-threshold", type=int, default=None)
+    p.add_argument("--hot-threshold", default=None,
+                   help="turns-per-conversation above which a conversation "
+                        "is salted across tasks; an int, 'auto' (bucket-"
+                        "relative: rows/buckets/4, the scale-stable choice), "
+                        "or omitted for no salting")
     p.add_argument("--engine", choices=["udf", "sql"], default="udf")
     p.add_argument("--format", choices=["parquet", "iceberg"], default="parquet",
                    help="sink format; iceberg needs the runtime jar + --table")
@@ -72,7 +76,8 @@ def main() -> None:
         salt_buckets=args.salt_buckets,
         groups=args.groups,
         resume=not args.no_resume,
-        hot_threshold=args.hot_threshold,
+        hot_threshold=(args.hot_threshold if args.hot_threshold in (None, "auto")
+                       else int(args.hot_threshold)),
         engine=args.engine,
         sink_format=args.format,
         sink_table=args.table,

@@ -79,7 +79,7 @@ def run(
     salt_buckets: int = 8,
     groups: int = 1,
     resume: bool = True,
-    hot_threshold: int | None = None,
+    hot_threshold: int | str | None = None,  # int, "auto", or None (no salting)
     engine: str = "udf",
     sink_format: str = "parquet",
     sink_table: str | None = None,  # iceberg table id when sink_format=iceberg
@@ -113,8 +113,15 @@ def run(
         role_dict, tool_dict = _load_dicts(spark, dict_dir)
 
     hot: list[str] | None = None
+    if hot_threshold == "auto":
+        # bucket-relative (stages.hot_conv_threshold): only conversations
+        # that would dominate one bucket's write task pay the salt
+        # fan-out (each salted bucket costs salt_buckets files per sink)
+        hot_threshold = stages.hot_conv_threshold(
+            stages.input_row_count(source_path), int(buckets)
+        )
     if hot_threshold is not None:
-        hot = stages.detect_hot_convs(df, hot_threshold)
+        hot = stages.detect_hot_convs(df, int(hot_threshold))
 
     done = committed_buckets(out_dir) if resume else set()
     pending = [b for b in range(buckets) if b not in done]

@@ -49,6 +49,27 @@ def tune_scan_splits(spark: SparkSession, path: str, waves: int = 8,
     return target
 
 
+def input_row_count(path: str) -> int:
+    """Exact input row count from parquet FOOTERS — driver-side
+    metadata walk, O(files), no Spark job (the same pattern as the
+    lineage protocol; an Iceberg deployment reads the snapshot's
+    ``total-records`` summary field instead, one metadata read)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = 0
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            rows += sum(
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for f in files if f.endswith(".parquet")
+            )
+    elif os.path.exists(path):
+        rows = pq.ParquetFile(path).metadata.num_rows
+    return rows
+
+
 def auto_bucket_count(spark: SparkSession, path: str,
                       target_rows: int = 250_000,
                       lo: int | None = None, hi: int = 1 << 20) -> int:
@@ -73,23 +94,37 @@ def auto_bucket_count(spark: SparkSession, path: str,
     through the whole write stage) and at most ``hi``.
     """
     import math
-    import os
 
-    import pyarrow.parquet as pq
-
-    rows = 0
-    if os.path.isdir(path):
-        for root, _, files in os.walk(path):
-            rows += sum(
-                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-                for f in files if f.endswith(".parquet")
-            )
-    elif os.path.exists(path):
-        rows = pq.ParquetFile(path).metadata.num_rows
+    rows = input_row_count(path)
     lo = lo or spark.sparkContext.defaultParallelism
     need = max(1, math.ceil(rows / target_rows))
     b = 1 << (need - 1).bit_length()
     return max(lo, min(hi, b))
+
+
+def hot_conv_threshold(n_rows: int, buckets: int, frac: float = 0.25,
+                       floor: int = 1000) -> int:
+    """Bucket-relative hot-conversation threshold for salting.
+
+    Salting exists to split a conversation that would dominate ONE
+    write task; the cost side is file count — every salted bucket
+    writes ``salt_buckets`` files per sink instead of one, because
+    each salt value lands the bucket's rows in a different task.
+    A threshold expressed as a fixed fraction of the TABLE (the
+    obvious ``n // 1000``) marks conversations hot that are a
+    rounding error within their bucket: at 600k rows / 16 buckets it
+    salted ~300 conversations of ~1k turns each — 1.6% of a 37k-row
+    bucket, zero straggler benefit — and multiplied the e2e write's
+    file count ~8x (measured: 816 -> ~110 files, write 2x faster).
+
+    The scale-stable invariant is rows relative to the conversation's
+    BUCKET: only a conversation holding >= ``frac`` of the average
+    bucket's rows can stretch that bucket's task noticeably, so only
+    those pay the salt fan-out. At 10^12 turns / 2^20 buckets this is
+    ~240k turns — a genuine monster conversation — while the per-task
+    sort stays bounded for everything below it.
+    """
+    return max(floor, int(n_rows / max(1, buckets) * frac))
 
 
 def read_transcripts_union(spark: SparkSession, paths: list[str]) -> DataFrame:

@@ -363,3 +363,29 @@ def test_auto_buckets_recorded_and_resume_guard(spark, fixture_sf_small,
     with pytest.raises(ValueError, match="n_buckets"):
         pipeline.run(spark, source_path=src, out_dir=out, rules_path=RULES,
                      buckets=n + 1)
+
+
+def test_hot_threshold_is_bucket_relative(spark, fixture_sf_small,
+                                          tmp_path_factory):
+    """hot_threshold='auto' salts only conversations that would dominate
+    one bucket's write task — the threshold tracks rows/buckets, not a
+    fixed fraction of the table. The cost side it guards: every salted
+    bucket writes salt_buckets files per sink (measured 8x file blowup
+    at sf0.1 under the table-relative n//1000 heuristic)."""
+    # pure math: fraction of the average bucket, floored
+    assert stages.hot_conv_threshold(600_000, 16) == 9375        # n/B/4
+    assert stages.hot_conv_threshold(600_000, 256) == 1000       # floor
+    assert stages.hot_conv_threshold(10**12, 1 << 20) == 238_418  # monster-only
+    # halving the bucket count doubles the threshold (same invariant)
+    assert stages.hot_conv_threshold(2**30, 128) == 2 * stages.hot_conv_threshold(2**30, 256)
+
+    # e2e: the fixture's hottest conversations (~1k turns of a 5k-row
+    # table) sit far below rows/buckets/4 only when buckets is small —
+    # with many buckets the auto threshold still salts them
+    src = f"{fixture_sf_small}/transcripts.parquet"
+    n_rows = stages.input_row_count(src)
+    out = str(tmp_path_factory.mktemp("hotauto"))
+    res = pipeline.run(spark, source_path=src, out_dir=out, rules_path=RULES,
+                       buckets=4, hot_threshold="auto")
+    assert res.total_rows_processed == n_rows
+    assert sorted(res.processed_buckets) == [0, 1, 2, 3]
