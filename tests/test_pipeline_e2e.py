@@ -389,3 +389,42 @@ def test_hot_threshold_is_bucket_relative(spark, fixture_sf_small,
                        buckets=4, hot_threshold="auto")
     assert res.total_rows_processed == n_rows
     assert sorted(res.processed_buckets) == [0, 1, 2, 3]
+
+
+def _parquet_file_count(root: str) -> int:
+    import os
+
+    return sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(root)
+    )
+
+
+def test_routed_file_count_tracks_salt_fanout(spark, fixture_sf_small,
+                                              tmp_path_factory):
+    """The routed write's file count is the scale cost that salting
+    trades against: unsalted, every (bucket, sink) pair is exactly one
+    file (each bucket's rows land in one task); salting a bucket
+    spreads it over salt_buckets tasks, which the dynamic-partition
+    writer turns into up to salt_buckets files per (bucket, sink).
+    Pins the mechanism the bucket-relative hot threshold exists to
+    bound."""
+    src = f"{fixture_sf_small}/transcripts.parquet"
+
+    out_cold = str(tmp_path_factory.mktemp("files_cold"))
+    pipeline.run(spark, source_path=src, out_dir=out_cold, rules_path=RULES,
+                 buckets=4, hot_threshold=None)  # no salting
+    routed = SinkSet(out_dir=out_cold)
+    pairs = (
+        routed.read_routed(spark).select("bucket", "sink_id").distinct().count()
+    )
+    n_cold = _parquet_file_count(out_cold)
+    # +pairs slack for the ignored sink (not exposed via read_routed)
+    assert pairs <= n_cold <= pairs + 4  # one file per (bucket, sink) pair
+
+    out_hot = str(tmp_path_factory.mktemp("files_hot"))
+    # threshold=1 marks EVERY conversation hot — worst-case fan-out
+    pipeline.run(spark, source_path=src, out_dir=out_hot, rules_path=RULES,
+                 buckets=4, salt_buckets=4, hot_threshold=1)
+    n_hot = _parquet_file_count(out_hot)
+    assert n_hot > 2 * n_cold  # salt fan-out multiplies the file count
