@@ -391,7 +391,44 @@ def run_scaling(sf: str = SCALE_SF) -> dict:
     pre_skips: list[float] = []
     aborted_waiting = False
     rounds = []
-    want_valid, max_rounds = 3, 6
+    # PER-ROUND CHECKPOINT + RESUME (opt-in via SPARK_GRAFT_SCALE_STATE):
+    # an attempt can wait hours for healthy windows and each paired round
+    # costs ~8 min of sf10 runs, so losing the process (session restart,
+    # OOM-kill) must not lose completed rounds — a round is a complete,
+    # self-contained paired measurement, independent of which process ran
+    # it, so banked rounds from a killed attempt remain valid evidence.
+    # State is written atomically after every round (and every pre-gate
+    # skip); a relaunch with the same state path, sf and levels resumes
+    # from the banked rounds instead of starting over.
+    state_path = os.environ.get("SPARK_GRAFT_SCALE_STATE", "")
+
+    def _save_state() -> None:
+        if not state_path:
+            return
+        tmp = state_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"sf": sf, "levels": [lo, hi], "rounds": rounds,
+                       "pre_gate_skips": pre_skips}, f)
+        os.replace(tmp, state_path)
+
+    if state_path and os.path.exists(state_path):
+        try:
+            with open(state_path, encoding="utf-8") as f:
+                st = json.load(f)
+        except (OSError, ValueError):
+            st = None
+        if st and st.get("sf") == sf and st.get("levels") == [lo, hi]:
+            rounds = st["rounds"]
+            pre_skips = st.get("pre_gate_skips", [])
+            print(f"[scaling] resumed {len(rounds)} banked round(s) "
+                  f"({len([r for r in rounds if r['valid']])} valid) "
+                  f"from {state_path}", file=sys.stderr)
+        elif st is not None:
+            print(f"[scaling] state at {state_path} is for different "
+                  "sf/levels — starting fresh", file=sys.stderr)
+    want_valid = 3
+    # cost bound: at most 6 NEW rounds this process (banked ones are sunk)
+    max_rounds = len(rounds) + 6
     while len([r for r in rounds if r["valid"]]) < want_valid \
             and len(rounds) < max_rounds:
         if wait_min:
@@ -402,6 +439,7 @@ def run_scaling(sf: str = SCALE_SF) -> dict:
                           "starting round", file=sys.stderr)
                     break
                 pre_skips.append(qenv)
+                _save_state()
                 if time.monotonic() >= deadline:
                     aborted_waiting = True
                     break
@@ -424,6 +462,11 @@ def run_scaling(sf: str = SCALE_SF) -> dict:
             "valid": env >= ENV_GATE,
             "lo": a, "hi": b,
         })
+        r = rounds[-1]
+        print(f"[scaling] round {len(rounds)} done: order={r['order']} "
+              f"eff={r['eff']} probe_env={r['probe_env']} "
+              f"valid={r['valid']}", file=sys.stderr)
+        _save_state()
     n_valid = len([r for r in rounds if r["valid"]])
     if not rounds:
         # wait budget ran out before any healthy window appeared:
