@@ -310,7 +310,15 @@ def _probe_work(n_iter: int) -> int:
 
 def _scaling_one(cores: int, sf: str, runs: int = 1) -> dict:
     """One parallelism level: e2e seconds over `runs` timed runs
-    (after one untimed warmup), plus the CPU probe."""
+    (after one untimed warmup), plus CPU probes bracketing the runs.
+
+    The PRE probe feeds the envelope gate. The POST probe is a
+    DIAGNOSTIC (recorded, never gating — the gate's definition stays
+    fixed across an attempt): attempt-2 round 5 passed the pre-gate
+    (hi probe 3.649s, the best ever observed) yet its hi Spark run
+    came in 31% over the cleanest round's, i.e. the window degraded
+    AFTER the probe and DURING the job. pre/post disagreement per
+    level quantifies exactly that within-phase drift post hoc."""
     probe_sec = _cpu_probe(cores)
     spark = _spark(cores)
     try:
@@ -333,13 +341,20 @@ def _scaling_one(cores: int, sf: str, runs: int = 1) -> dict:
                 shutil.rmtree(out_dir, ignore_errors=True)
             secs.append(sec)
         med = statistics.median(secs)
-        return {"cores": cores, "runs": [round(s, 3) for s in secs],
-                "median_sec": round(med, 3), "n_turns": n_turns,
-                "turns_per_sec": round(n_turns / med, 1),
-                "cpu_probe_sec": probe_sec}
+        out = {"cores": cores, "runs": [round(s, 3) for s in secs],
+               "median_sec": round(med, 3), "n_turns": n_turns,
+               "turns_per_sec": round(n_turns / med, 1),
+               "cpu_probe_sec": probe_sec}
     finally:
         spark.stop()
         shutil.rmtree(f"/dev/shm/spark_local_{os.getpid()}", ignore_errors=True)
+    out["cpu_probe_post_sec"] = _cpu_probe(cores)
+    # window stability over this level's phase: 1.0 = the machine
+    # delivered the same compute at phase start and end
+    out["probe_drift"] = round(
+        max(probe_sec, out["cpu_probe_post_sec"])
+        / min(probe_sec, out["cpu_probe_post_sec"]), 3)
+    return out
 
 
 def run_scaling(sf: str = SCALE_SF) -> dict:
