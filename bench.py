@@ -50,6 +50,43 @@ SCALE_LEVELS = tuple(
 # job-independent CPU probe shows the VM delivered at least this
 # fraction of ideal 4x compute during the round (see run_scaling)
 ENV_GATE = float(os.environ.get("SPARK_GRAFT_ENV_GATE", "0.85"))
+# STRICT round validity (opt-in, set e.g. 1.10; 0 = off = legacy gate).
+# Attempt 2 (BENCH/scaling_round3_state.json) showed the pre-probe gate
+# alone admits rounds where the hypervisor degrades DURING the Spark
+# runs: the same binary measured eff 0.605 and 0.994 in back-to-back
+# "valid" rounds, and round 6's bracketing probes drifted 13% within
+# one phase. When set, a round is valid only if the envelope holds at
+# ENV_GATE on BOTH the pre and post probes AND each level's
+# probe_drift (max/min of its bracketing probes) stays <= this value.
+# The gate is symmetric: it discards drift-inflated rounds (like the
+# 0.994) exactly as it discards drift-deflated ones (the 0.605) —
+# round validity never looks at the job's own efficiency number.
+# An attempt's gate definition is fixed before launch via env and
+# recorded in its summary/state; never change it mid-attempt.
+DRIFT_GATE = float(os.environ.get("SPARK_GRAFT_DRIFT_GATE", "0"))
+
+
+def _round_valid(a: dict, b: dict, factor: float) -> dict:
+    """Validity verdict for one paired round from the two workers'
+    probe measurements only (a = lo level, b = hi level). Returns
+    env_pre/env_post/drifts plus the boolean, so callers bank the
+    evidence alongside the verdict."""
+    env_pre = round((a["cpu_probe_sec"] / b["cpu_probe_sec"]) / factor, 3)
+    out = {"probe_env": env_pre}
+    have_post = "cpu_probe_post_sec" in a and "cpu_probe_post_sec" in b
+    if have_post:
+        out["probe_env_post"] = round(
+            (a["cpu_probe_post_sec"] / b["cpu_probe_post_sec"]) / factor, 3)
+        out["probe_drift_lo"] = a.get("probe_drift")
+        out["probe_drift_hi"] = b.get("probe_drift")
+    valid = env_pre >= ENV_GATE
+    if DRIFT_GATE and have_post:
+        valid = (valid
+                 and out["probe_env_post"] >= ENV_GATE
+                 and out["probe_drift_lo"] <= DRIFT_GATE
+                 and out["probe_drift_hi"] <= DRIFT_GATE)
+    out["valid"] = valid
+    return out
 # the e2e job runs a production-representative rule set (~32 ordered
 # rules, rules/bench.rules) — with a trivial 4-rule config the job is
 # all fixed overhead at sandbox scale and no throughput number means
@@ -468,18 +505,19 @@ def run_scaling(sf: str = SCALE_SF) -> dict:
         got = {c: one(c) for c in pair}
         a, b = got[lo], got[hi]
         t_lo, t_hi = a["median_sec"], b["median_sec"]
-        env = round((a["cpu_probe_sec"] / b["cpu_probe_sec"]) / factor, 3)
+        verdict = _round_valid(a, b, factor)
         rounds.append({
             "order": f"{pair[0]}->{pair[1]}",
             "lo_sec": t_lo, "hi_sec": t_hi,
             "eff": round(t_lo / (factor * t_hi), 3),
-            "probe_env": env,
-            "valid": env >= ENV_GATE,
+            **verdict,
             "lo": a, "hi": b,
         })
         r = rounds[-1]
         print(f"[scaling] round {len(rounds)} done: order={r['order']} "
               f"eff={r['eff']} probe_env={r['probe_env']} "
+              f"env_post={r.get('probe_env_post')} "
+              f"drift={r.get('probe_drift_lo')}/{r.get('probe_drift_hi')} "
               f"valid={r['valid']}", file=sys.stderr)
         _save_state()
     n_valid = len([r for r in rounds if r["valid"]])
@@ -516,10 +554,13 @@ def run_scaling(sf: str = SCALE_SF) -> dict:
         "levels": [lo, hi],
         "rounds": [
             {k: r[k] for k in
-             ("order", "lo_sec", "hi_sec", "eff", "probe_env", "valid")}
+             ("order", "lo_sec", "hi_sec", "eff", "probe_env",
+              "probe_env_post", "probe_drift_lo", "probe_drift_hi", "valid")
+             if k in r}
             for r in rounds
         ],
         "env_gate": ENV_GATE,
+        "drift_gate": DRIFT_GATE or None,
         "wait_budget_min": wait_min,
         "pre_gate_skips": pre_skips,
         "aborted_waiting_for_window": aborted_waiting,
@@ -568,12 +609,23 @@ during that round (when the probe itself scales at e.g. 0.70, NO job
 can measure >=0.8 in that window — such rounds are measurement-invalid
 by construction, judged without looking at the job's own numbers).
 Median of the {s['n_valid_rounds']} valid rounds reported.
-
-| round | order | local[{lo}] sec | local[{hi}] sec | efficiency | probe envelope | valid |
-|---|---|---|---|---|---|---|
+""" + (f"""
+STRICT gate active for this attempt (pre-registered before launch):
+besides the pre-probe envelope, each round's POST-run probes must also
+hold the envelope at >= {s['env_gate']}, and each level's bracketing
+probes must agree within {s['drift_gate']}x (probe_drift = max/min) —
+i.e. the window must be STABLE across the whole round, not merely
+healthy at its start. The gate is symmetric: it rejects drift-INFLATED
+rounds exactly as it rejects drift-deflated ones, and never looks at
+the job's own efficiency number.
+""" if s.get("drift_gate") else "") + f"""
+| round | order | local[{lo}] sec | local[{hi}] sec | efficiency | probe env pre/post | drift lo/hi | valid |
+|---|---|---|---|---|---|---|---|
 """ + "".join(
         f"| {i + 1} | {r['order']} | {r['lo_sec']} | {r['hi_sec']} | {r['eff']} "
-        f"| {r['probe_env']} | {'yes' if r['valid'] else 'NO (gated out)'} |\n"
+        f"| {r['probe_env']}/{r.get('probe_env_post', '—')} "
+        f"| {r.get('probe_drift_lo', '—')}/{r.get('probe_drift_hi', '—')} "
+        f"| {'yes' if r['valid'] else 'NO (gated out)'} |\n"
         for i, r in enumerate(s["rounds"])
     ) + f"""
 
