@@ -378,6 +378,47 @@ class SinkSet:
             )
         return out
 
+    def read_conversation(self, spark: SparkSession,
+                          conv_id: str) -> DataFrame:
+        """Point lookup of ONE conversation across all sinks — the
+        operational read a routed log store actually serves ("show me
+        everything conversation X produced") — touching 1/n_buckets of
+        the table instead of scanning it.
+
+        The write path pins ``bucket = pmod(xxhash64(conv_id), B)``
+        with B recorded in the manifest (``n_buckets``), so the lookup
+        recomputes the bucket DRIVER-side with the same JVM expression
+        (a 1-row Spark job — xxhash64 has no Python twin and a
+        reimplementation could silently diverge) and reads only runs
+        that committed that bucket, with ``bucket = b`` pruning to the
+        matching partition directories. Within them the files are
+        (conv_id, turn_idx)-sorted, so the residual ``conv_id``
+        predicate prunes at parquet row-group granularity via
+        column stats. At 100 TB / 1024 buckets a lookup plans over
+        ~0.1% of the files and reads a few row groups.
+
+        Pre-``n_buckets`` manifests (or a bucket no run committed)
+        degrade gracefully: the bucket filter still partition-prunes
+        whatever layout exists; correctness never depends on the
+        manifest hint."""
+        manifest = load_manifest(self.out_dir)
+        by_run = self._committed_by_run()
+        nb = manifest.get("n_buckets")
+        cond = F.col("conv_id") == conv_id
+        if nb:
+            b = int(
+                spark.range(1)
+                .select(F.pmod(F.xxhash64(F.lit(conv_id)),
+                               F.lit(int(nb))).cast("int"))
+                .first()[0]
+            )
+            hit_runs = {r: [b] for r, bs in by_run.items() if b in bs}
+            # no run committed this bucket: keep one run for schema; the
+            # bucket filter partition-prunes it to zero files at planning
+            by_run = hit_runs or dict(list(by_run.items())[:1])
+            cond = cond & (F.col("bucket") == b)
+        return self._read_committed(spark, by_run).filter(cond)
+
     def compute_sink_cardinality(self, spark: SparkSession,
                                  record: bool = True) -> dict[str, int]:
         """EXACT distinct-conversation count per sink over the whole

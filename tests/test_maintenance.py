@@ -25,6 +25,7 @@ import re
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from logparse_spark import pipeline
 from logparse_spark.sinks import SinkSet, load_manifest
@@ -241,3 +242,44 @@ def test_compact_plan_prunes_and_single_exchange(spark, compact_out):
     assert len(exchanges) == 1, plan
     kind, keys = exchanges[0]
     assert kind == "hashpartitioning" and "bucket" in keys, plan
+
+
+def test_read_conversation_point_lookup(spark, committed_run):
+    """read_conversation must return exactly the conversation's rows
+    (across every sink it routed to) while PLANNING over only the
+    conversation's bucket — the manifest-pinned bucket space makes the
+    lookup touch 1/n_buckets of the committed files, and the runtime
+    numFiles scan metric proves it (at 100 TB this is a point read,
+    not a table scan)."""
+    from conftest import scan_num_files
+
+    ss = SinkSet(out_dir=committed_run)
+    full = ss._read_committed(spark)
+    # a conversation that routed to more than one sink, to exercise the
+    # cross-sink union part of the contract
+    multi = (
+        full.groupBy("conv_id")
+        .agg(F.countDistinct("sink_id").alias("n"))
+        .filter("n >= 2")
+        .first()
+    )
+    conv = multi["conv_id"]
+
+    got = ss.read_conversation(spark, conv)
+    # metric first: numFiles is a driver-side metric posted on the
+    # FIRST execution only (the scan's file listing is cached after)
+    total_files = sum(_file_census(committed_run).values())
+    n_read = scan_num_files(got, os.path.basename(committed_run))
+    # the fixture commits 8 buckets: a lookup plans over ~1/8 of files
+    assert 0 < n_read < total_files / 2, (n_read, total_files)
+
+    expected = sorted(
+        map(tuple, full.filter(F.col("conv_id") == conv).collect())
+    )
+    assert expected, "fixture conversation unexpectedly empty"
+    assert sorted(map(tuple, got.collect())) == expected
+
+    # unknown conversation: empty result, and the bucket filter prunes
+    # the scan to zero files
+    miss = ss.read_conversation(spark, "no-such-conversation")
+    assert miss.count() == 0

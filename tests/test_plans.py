@@ -261,36 +261,7 @@ def test_jaccard_df_cap_is_broadcast_anti(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def _scan_num_files(df, path_substr: str) -> int:
-    """numFiles metric of the executed FileSourceScan whose path
-    contains ``path_substr`` — the runtime truth of partition pruning
-    (DataFrame.inputFiles() lists the UNPRUNED table, so it cannot
-    prove pruning). Descends AQE query-stage leaves."""
-    df.collect()  # materialize metrics
-
-    def walk(node, out):
-        name = node.getClass().getSimpleName()
-        if "FileSourceScan" in name:
-            out.append(node)
-        if name == "AdaptiveSparkPlanExec":
-            return walk(node.executedPlan(), out)
-        if name.endswith("QueryStageExec"):
-            return walk(node.plan(), out)
-        ch = node.children()
-        for i in range(ch.size()):
-            walk(ch.apply(i), out)
-        return out
-
-    scans = walk(df._jdf.queryExecution().executedPlan(), [])
-    # identify by the relation's actual root path: toString() truncates
-    # location strings at spark.sql.maxMetadataStringLength (100), which
-    # silently cuts long pytest tmp paths
-    hits = [
-        s for s in scans
-        if path_substr in s.relation().location().rootPaths().apply(0).toString()
-    ]
-    assert hits, f"no FileSourceScan over {path_substr!r} in executed plan"
-    return sum(int(s.metrics().apply("numFiles").value()) for s in hits)
+from conftest import scan_num_files as _scan_num_files  # noqa: E402
 
 
 def test_ann_index_probe_prunes_partitions(spark, tmp_path):
