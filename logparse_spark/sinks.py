@@ -334,6 +334,52 @@ class SinkSet:
 
     # -- read side -----------------------------------------------------
 
+    def snapshots(self) -> list[dict]:
+        """The table's snapshot log — the manifest analogue of Iceberg's
+        ``.snapshots`` metadata table. One entry per COMMIT in history
+        order (cardinality/maintenance notes are not snapshots), each
+        with its 0-based ``snapshot_id``, the committing ``run_id``,
+        the buckets it (re)published, its wall time, and the
+        ``compaction_of`` provenance when the commit was a rewrite."""
+        out = []
+        for h in load_manifest(self.out_dir)["history"]:
+            if "committed_buckets" not in h:
+                continue
+            out.append({"snapshot_id": len(out), **h})
+        return out
+
+    def _buckets_as_of(self, as_of: int) -> dict[str, list[int]]:
+        """Reconstruct the bucket -> run mapping as of snapshot
+        ``as_of`` by replaying the commit log — each commit repoints
+        its buckets at its run, exactly how the live ``buckets`` map is
+        built. Raises if a referenced run directory no longer exists
+        (vacuumed — the ``expire_snapshots`` analogue: time travel only
+        reaches snapshots whose data files still exist)."""
+        snaps = self.snapshots()
+        if not (0 <= as_of < len(snaps)):
+            raise IndexError(
+                f"snapshot {as_of} out of range: {self.out_dir} has "
+                f"{len(snaps)} snapshot(s)"
+            )
+        owner: dict[int, str] = {}
+        for h in snaps[: as_of + 1]:
+            for b in h["committed_buckets"]:
+                owner[int(b)] = h["run_id"]
+        by_run: dict[str, list[int]] = {}
+        for b, run_id in owner.items():
+            by_run.setdefault(run_id, []).append(b)
+        gone = [
+            r for r in by_run
+            if not os.path.isdir(os.path.join(self.out_dir, "runs", r))
+        ]
+        if gone:
+            raise FileNotFoundError(
+                f"snapshot {as_of} references vacuumed run(s) {sorted(gone)} "
+                "— expired snapshots are unreadable (vacuum is the "
+                "expire_snapshots analogue); read a newer snapshot"
+            )
+        return by_run
+
     def _committed_by_run(self) -> dict[str, list[int]]:
         """Committed buckets grouped by the run that produced them."""
         manifest = load_manifest(self.out_dir)
@@ -364,12 +410,20 @@ class SinkSet:
             out = out.unionByName(f_, allowMissingColumns=True)
         return out
 
-    def read_routed(self, spark: SparkSession) -> DataFrame:
+    def read_routed(self, spark: SparkSession,
+                    as_of: int | None = None) -> DataFrame:
         """Read committed routed rows — uncommitted runs are invisible,
         like reading an Iceberg snapshot. The ignored sink is excluded
         by partition pruning; count_key is re-derived (== rendered for
-        count rules) so readers see the full MATCH_COLUMNS shape."""
-        out = self._read_committed(spark)
+        count rules) so readers see the full MATCH_COLUMNS shape.
+
+        ``as_of`` time-travels to an earlier snapshot id (see
+        :meth:`snapshots` — the ``VERSION AS OF`` analogue): the read
+        plans over the bucket -> run mapping as of that commit, so
+        later appends, resumes and compactions are invisible. Expired
+        (vacuumed) snapshots raise instead of silently under-reading."""
+        by_run = self._buckets_as_of(as_of) if as_of is not None else None
+        out = self._read_committed(spark, by_run)
         out = out.filter(F.col("sink_id") != "ignored")
         if "count_key" not in out.columns and "action" in out.columns:
             out = out.withColumn(

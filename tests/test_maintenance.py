@@ -283,3 +283,46 @@ def test_read_conversation_point_lookup(spark, committed_run):
     # the scan to zero files
     miss = ss.read_conversation(spark, "no-such-conversation")
     assert miss.count() == 0
+
+
+def test_snapshot_time_travel(spark, compact_out):
+    """Manifest time travel (the VERSION AS OF analogue): snapshots()
+    exposes the commit log, read_routed(as_of=k) plans over the
+    bucket -> run mapping as of commit k, compaction appends a
+    snapshot without changing any snapshot's visible rows, and vacuum
+    expires pre-compaction snapshots LOUDLY (FileNotFoundError), never
+    silently under-reads them."""
+    ss = SinkSet(out_dir=compact_out)
+    snaps = ss.snapshots()
+    assert len(snaps) >= 2, snaps  # fixture commits in 2 bucket groups
+
+    first = ss.read_routed(spark, as_of=0)
+    got_buckets = {r["bucket"] for r in first.select("bucket").distinct().collect()}
+    assert got_buckets <= set(snaps[0]["committed_buckets"])
+    live = ss.read_routed(spark)
+    n_live = live.count()
+    assert first.count() < n_live  # later commits invisible at snapshot 0
+    assert ss.read_routed(spark, as_of=len(snaps) - 1).count() == n_live
+
+    with pytest.raises(IndexError):
+        ss._buckets_as_of(len(snaps))
+
+    # full-rewrite compaction = one more snapshot; every prior snapshot
+    # still reads (min_files_per_partition=1 repoints every bucket, so
+    # vacuum below orphans ALL pre-compaction runs)
+    assert SinkSet(out_dir=compact_out).compact(
+        spark, min_files_per_partition=1)["rewritten_buckets"]
+    ss2 = SinkSet(out_dir=compact_out)
+    snaps2 = ss2.snapshots()
+    assert len(snaps2) == len(snaps) + 1
+    assert "compaction_of" in snaps2[-1]
+    assert ss2.read_routed(spark, as_of=len(snaps2) - 1).count() == n_live
+    assert ss2.read_routed(spark, as_of=0).count() == first.count()
+
+    # vacuum expires the rewritten runs: expired snapshots raise
+    removed = SinkSet(out_dir=compact_out).vacuum(min_age_minutes=0)
+    assert removed
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        ss2.read_routed(spark, as_of=0)
+    assert SinkSet(out_dir=compact_out).read_routed(
+        spark, as_of=len(snaps2) - 1).count() == n_live
