@@ -432,6 +432,49 @@ class SinkSet:
             )
         return out
 
+    def changes(self, spark: SparkSession, since: int,
+                until: int | None = None) -> DataFrame:
+        """Incremental scan (the Iceberg ``incremental read`` analogue):
+        rows APPENDED by snapshots ``since+1 .. until`` — the feed a
+        downstream training-data pipeline tails to process only newly
+        landed conversations instead of rescanning the table.
+
+        Buckets are single-commit units here (resume skips committed
+        buckets; only compaction repoints them), so the delta is
+        exactly the buckets of the in-range APPEND snapshots, read from
+        the runs that committed them. Compaction snapshots contribute
+        no rows to a delta (a rewrite adds no records); they are
+        skipped rather than double-counted. ``since = -1`` reads from
+        the beginning. Reading a delta whose runs were since vacuumed
+        raises like any expired snapshot read."""
+        snaps = self.snapshots()
+        until = len(snaps) - 1 if until is None else until
+        if not (-1 <= since <= until < len(snaps)):
+            raise IndexError(
+                f"bad snapshot range since={since} until={until}: "
+                f"{self.out_dir} has {len(snaps)} snapshot(s)"
+            )
+        by_run: dict[str, list[int]] = {}
+        for h in snaps[since + 1: until + 1]:
+            if "compaction_of" in h:
+                continue  # rewrite: no new records
+            by_run.setdefault(h["run_id"], []).extend(
+                int(b) for b in h["committed_buckets"]
+            )
+        if not by_run:
+            # empty delta: schema-only frame from the live table
+            return self._read_committed(spark).filter(F.lit(False))
+        gone = [
+            r for r in by_run
+            if not os.path.isdir(os.path.join(self.out_dir, "runs", r))
+        ]
+        if gone:
+            raise FileNotFoundError(
+                f"delta ({since}, {until}] references vacuumed run(s) "
+                f"{sorted(gone)} — expired snapshots are unreadable"
+            )
+        return self._read_committed(spark, by_run)
+
     def read_conversation(self, spark: SparkSession,
                           conv_id: str) -> DataFrame:
         """Point lookup of ONE conversation across all sinks — the

@@ -326,3 +326,35 @@ def test_snapshot_time_travel(spark, compact_out):
         ss2.read_routed(spark, as_of=0)
     assert SinkSet(out_dir=compact_out).read_routed(
         spark, as_of=len(snaps2) - 1).count() == n_live
+
+
+def test_incremental_changes(spark, compact_out):
+    """changes(since, until) must partition the table exactly: the
+    snapshot-0 delta plus the snapshot-1 delta equals the live table
+    (buckets are single-commit units), compaction snapshots contribute
+    an EMPTY delta (a rewrite adds no records), and the full-range
+    delta equals a full read."""
+    ss = SinkSet(out_dir=compact_out)
+    snaps = ss.snapshots()
+    assert len(snaps) >= 2
+    live = sorted(map(tuple, ss._read_committed(spark).collect()))
+
+    d0 = ss.changes(spark, since=-1, until=0)
+    d1 = ss.changes(spark, since=0, until=1)
+    assert sorted(
+        list(map(tuple, d0.collect())) + list(map(tuple, d1.collect()))
+    ) == live
+    assert sorted(map(tuple, ss.changes(spark, since=-1).collect())) == live
+
+    with pytest.raises(IndexError):
+        ss.changes(spark, since=len(snaps))
+
+    # compaction: one more snapshot, but its delta is empty
+    assert SinkSet(out_dir=compact_out).compact(
+        spark, min_files_per_partition=1)["rewritten_buckets"]
+    ss2 = SinkSet(out_dir=compact_out)
+    assert ss2.changes(spark, since=len(snaps) - 1).count() == 0
+    # pre-compaction deltas expire with their runs
+    SinkSet(out_dir=compact_out).vacuum(min_age_minutes=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        ss2.changes(spark, since=-1, until=0)
