@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Operational CLI for a committed sink table — the day-2 surface an
+operator of the routed store actually uses, one spark-submit away:
+
+    spark-submit --py-files "$ZIP" jobs/table_tool.py --out /path/to/table \
+        snapshots                          # the commit log (VERSION list)
+    ... compact [--max-records-per-file N] # rewrite_data_files analogue
+    ... vacuum  [--min-age-minutes M]      # expire/remove_orphans analogue
+    ... lookup --conv-id X [--as-json]     # bucket-pruned point read
+    ... changes --since K [--until J]      # incremental scan of new commits
+    ... cardinality                        # exact per-sink conv counts
+
+Every subcommand prints ONE JSON line so callers can pipe it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# `snapshots` is a pure manifest read and runs under plain `python`
+# (no Spark); make the repo-root import work there too, not only under
+# spark-submit --py-files.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="sink table maintenance/read tool")
+    p.add_argument("--out", required=True, help="sink table root (out_dir)")
+    sub = p.add_subparsers(dest="op", required=True)
+
+    sub.add_parser("snapshots")
+    c = sub.add_parser("compact")
+    c.add_argument("--max-records-per-file", type=int, default=None)
+    c.add_argument("--min-files-per-partition", type=int, default=2)
+    v = sub.add_parser("vacuum")
+    v.add_argument("--min-age-minutes", type=float, default=60.0)
+    lk = sub.add_parser("lookup")
+    lk.add_argument("--conv-id", required=True)
+    lk.add_argument("--limit", type=int, default=1000)
+    ch = sub.add_parser("changes")
+    ch.add_argument("--since", type=int, required=True)
+    ch.add_argument("--until", type=int, default=None)
+    sub.add_parser("cardinality")
+    args = p.parse_args()
+
+    from logparse_spark.sinks import SinkSet
+
+    ss = SinkSet(out_dir=args.out)
+    if args.op == "snapshots":
+        print(json.dumps({"snapshots": ss.snapshots()}))
+        return
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("logparse_spark.table_tool").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        if args.op == "compact":
+            kwargs = {"min_files_per_partition": args.min_files_per_partition}
+            if args.max_records_per_file is not None:
+                kwargs["max_records_per_file"] = args.max_records_per_file
+            print(json.dumps(ss.compact(spark, **kwargs)))
+        elif args.op == "vacuum":
+            print(json.dumps(
+                {"removed_runs": ss.vacuum(min_age_minutes=args.min_age_minutes)}
+            ))
+        elif args.op == "lookup":
+            rows = (
+                ss.read_conversation(spark, args.conv_id)
+                .orderBy("turn_idx").limit(args.limit).collect()
+            )
+            print(json.dumps({"conv_id": args.conv_id, "n": len(rows),
+                              "rows": [r.asDict() for r in rows]},
+                             default=str))
+        elif args.op == "changes":
+            df = ss.changes(spark, since=args.since, until=args.until)
+            print(json.dumps({"since": args.since, "until": args.until,
+                              "rows": df.count()}))
+        elif args.op == "cardinality":
+            print(json.dumps(ss.compute_sink_cardinality(spark)))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
