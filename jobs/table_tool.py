@@ -9,6 +9,8 @@ operator of the routed store actually uses, one spark-submit away:
     ... lookup --conv-id X [--as-json]     # bucket-pruned point read
     ... changes --since K [--until J]      # incremental scan of new commits
     ... cardinality                        # exact per-sink conv counts
+    ... delete --conv-id X [--conv-id Y]   # DELETE FROM analogue (COW)
+    ... upsert --source P --rules R [--dict-dir D]  # MERGE INTO analogue
 
 Every subcommand prints ONE JSON line so callers can pipe it.
 """
@@ -46,6 +48,15 @@ def main() -> None:
     ch.add_argument("--since", type=int, required=True)
     ch.add_argument("--until", type=int, default=None)
     sub.add_parser("cardinality")
+    dl = sub.add_parser("delete")
+    dl.add_argument("--conv-id", action="append", required=True,
+                    help="repeatable; each named conversation is removed "
+                         "from every sink (copy-on-write, bucket-pruned)")
+    up = sub.add_parser("upsert")
+    up.add_argument("--source", required=True,
+                    help="transcripts parquet of re-delivered/new convs")
+    up.add_argument("--rules", default="rules/default.rules")
+    up.add_argument("--dict-dir", default=None)
     args = p.parse_args()
 
     from logparse_spark.sinks import SinkSet
@@ -83,6 +94,15 @@ def main() -> None:
                               "rows": df.count()}))
         elif args.op == "cardinality":
             print(json.dumps(ss.compute_sink_cardinality(spark)))
+        elif args.op == "delete":
+            print(json.dumps(ss.delete_conversations(spark, args.conv_id)))
+        elif args.op == "upsert":
+            from logparse_spark.pipeline import upsert
+
+            print(json.dumps(upsert(
+                spark, args.source, args.out,
+                rules_path=args.rules, dict_dir=args.dict_dir,
+            )))
     finally:
         spark.stop()
 

@@ -170,6 +170,44 @@ def run(
     )
 
 
+def upsert(
+    spark: SparkSession,
+    source_path: str,
+    out_dir: str,
+    rules_path: str = "/root/repo/rules/default.rules",
+    dict_dir: str | None = None,
+    salt_buckets: int = 8,
+    engine: str = "udf",
+) -> dict:
+    """Re-delivery path: classify NEW or REVISED conversations with the
+    same compiled rules and MERGE them into an existing committed table
+    at conversation granularity (``SinkSet.merge_classified`` — the
+    copy-on-write ``MERGE INTO`` analogue). A re-delivered conversation
+    fully replaces its earlier rows; unseen conversations are plain
+    inserts. Only the buckets the updates hash into are rewritten.
+
+    The updates MUST be bucketed under the table's pinned bucket space,
+    so a table without a recorded ``n_buckets`` (never written by this
+    pipeline) refuses rather than guessing."""
+    compiled = load_rules(rules_path)
+    nb = load_manifest(out_dir).get("n_buckets")
+    if nb is None:
+        raise ValueError(
+            f"{out_dir} has no recorded n_buckets — upsert needs the "
+            "pinned bucket space a pipeline.run() commit records; run the "
+            "initial load first"
+        )
+    role_dict = tool_dict = None
+    if dict_dir:
+        role_dict, tool_dict = _load_dicts(spark, dict_dir)
+    df = stages.read_transcripts(spark, source_path)
+    cdf = classify(
+        df, compiled, role_dict, tool_dict,
+        buckets=int(nb), salt_buckets=salt_buckets, engine=engine,
+    )
+    return SinkSet(out_dir=out_dir).merge_classified(spark, cdf)
+
+
 # ---------------------------------------------------------------------------
 # Report rendering (K1): the LogParse-style plain-text summary.
 # ---------------------------------------------------------------------------

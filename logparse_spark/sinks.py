@@ -52,6 +52,15 @@ from pyspark.sql import functions as F
 MANIFEST_DIR = "_manifest"
 MANIFEST_FILE = "committed.json"
 
+# the routed table's column universe: the two dynamic-partition keys
+# first, then identity/order keys, rule outputs, and the broadcast-
+# enrichment columns (J1). write_classified and merge_classified both
+# project onto (the present subset of) this list, so every committed
+# run draws its schema from one place.
+SINK_COLUMNS = ["bucket", "sink_id", "conv_id", "turn_idx", "role", "ts",
+                "rule_id", "rule_name", "action", "rendered",
+                "role_class", "weight", "tool_family", "is_privileged"]
+
 
 def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, MANIFEST_DIR, MANIFEST_FILE)
@@ -89,6 +98,14 @@ def _aggregate_partition_rows(triples) -> dict[int, dict]:
         entry["rows"] += n
         entry["sinks"][s] = entry["sinks"].get(s, 0) + n
     return lineage
+
+
+def _run_has_parquet(base: str) -> bool:
+    """True if a run dir holds at least one data file (early-exit walk)."""
+    for _, _, files in os.walk(base):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -190,12 +207,7 @@ class SinkSet:
                 "each write_classified call"
             )
         self._written = True
-        cols = ["bucket", "sink_id", "conv_id", "turn_idx", "role", "ts",
-                "rule_id", "rule_name", "action", "rendered",
-                # enrichment outputs (J1): the broadcast lookup joins
-                # are load-bearing — their columns land in the sinks
-                "role_class", "weight", "tool_family", "is_privileged"]
-        keep = [c for c in cols if c in df.columns]
+        keep = [c for c in SINK_COLUMNS if c in df.columns]
         obs = Observation()
         metrics = [F.count(F.lit(1)).alias("rows_total")]
         observed_sinks = list(sinks or []) if observe_cardinality else []
@@ -403,8 +415,20 @@ class SinkSet:
         frames = []
         for run_id, bs in sorted(by_run.items()):
             base = os.path.join(self.out_dir, "runs", run_id)
+            # a run can legitimately hold ZERO data files: a delete that
+            # emptied every bucket it rewrote still commits (the buckets
+            # repoint to it with rows=0). Parquet cannot infer a schema
+            # from nothing, so such runs are skipped — they contribute
+            # no rows by definition.
+            if not _run_has_parquet(base):
+                continue
             df = spark.read.option("basePath", base).parquet(base)
             frames.append(df.filter(F.col("bucket").isin(bs)))
+        if not frames:
+            raise FileNotFoundError(
+                f"no data files under any committed run of {self.out_dir} "
+                "(every committed bucket is empty — e.g. fully deleted)"
+            )
         out = frames[0]
         for f_ in frames[1:]:
             out = out.unionByName(f_, allowMissingColumns=True)
@@ -444,9 +468,15 @@ class SinkSet:
         exactly the buckets of the in-range APPEND snapshots, read from
         the runs that committed them. Compaction snapshots contribute
         no rows to a delta (a rewrite adds no records); they are
-        skipped rather than double-counted. ``since = -1`` reads from
-        the beginning. Reading a delta whose runs were since vacuumed
-        raises like any expired snapshot read."""
+        skipped rather than double-counted. Row-MODIFICATION snapshots
+        (delete_conversations / merge_classified) RAISE instead: their
+        runs mix surviving old rows with new ones, so an append-only
+        delta crossing them is not well defined — the exact behavior
+        of Iceberg's IncrementalAppendScan, which skips REPLACE
+        (compaction) snapshots but refuses OVERWRITE/DELETE ones.
+        ``since = -1`` reads from the beginning. Reading a delta whose
+        runs were since vacuumed raises like any expired snapshot
+        read."""
         snaps = self.snapshots()
         until = len(snaps) - 1 if until is None else until
         if not (-1 <= since <= until < len(snaps)):
@@ -456,6 +486,15 @@ class SinkSet:
             )
         by_run: dict[str, list[int]] = {}
         for h in snaps[since + 1: until + 1]:
+            if "delete_of" in h or "merge_of" in h:
+                raise ValueError(
+                    f"snapshot {h['snapshot_id']} is a row-level "
+                    "modification (delete/merge): an append-only "
+                    "incremental scan across it is undefined — consume "
+                    "deltas up to it, then re-read the table (Iceberg "
+                    "IncrementalAppendScan refuses overwrite snapshots "
+                    "the same way)"
+                )
             if "compaction_of" in h:
                 continue  # rewrite: no new records
             by_run.setdefault(h["run_id"], []).extend(
@@ -549,6 +588,261 @@ class SinkSet:
             })
             _atomic_write_json(_manifest_path(self.out_dir), manifest)
         return counts
+
+    # -- row-level operations (Iceberg DELETE FROM / MERGE INTO
+    #    copy-on-write stand-ins) ----------------------------------------
+
+    def _conv_buckets(self, spark: SparkSession,
+                      conv_ids: list[str]) -> list[int] | None:
+        """Bucket id per conversation under the manifest-pinned bucket
+        space — the SAME JVM expression the write path uses (one tiny
+        Spark job over the literal ids; xxhash64 has no Python twin and
+        a reimplementation could silently diverge). None when the table
+        predates the ``n_buckets`` pin: no pruning is possible, row ops
+        degrade to a full-table rewrite (still correct)."""
+        nb = load_manifest(self.out_dir).get("n_buckets")
+        if not nb:
+            return None
+        rows = (
+            spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
+            .select(F.pmod(F.xxhash64("conv_id"), F.lit(int(nb)))
+                    .cast("int").alias("b"))
+            .distinct().collect()
+        )
+        return sorted(r["b"] for r in rows)
+
+    def delete_conversations(self, spark: SparkSession,
+                             conv_ids: list[str]) -> dict:
+        """Row-level DELETE of whole conversations — the copy-on-write
+        ``DELETE FROM routed WHERE conv_id IN (...)`` analogue, and the
+        right-to-be-forgotten path a training-data store must serve.
+
+        Cost shape at 100 TB: the ids hash to at most ``len(conv_ids)``
+        buckets, so with 1024 buckets deleting a handful of
+        conversations plans over ~0.1% of the table's files — two
+        partition-pruned passes (a per-(bucket, sink) count of the
+        doomed rows, then the rewrite of only the buckets that actually
+        matched) and never a full scan. Buckets with no matching rows
+        keep their current run untouched.
+
+        Safety mirrors compact(): the surviving rows land in a NEW run
+        dir; the manifest swap happens only after the new files' footer
+        counts equal the committed lineage minus the matched counts,
+        per (bucket, sink), exactly. A crash mid-delete leaves the old
+        manifest intact and an unreferenced run dir for ``vacuum``.
+        Time travel to a pre-delete snapshot still reads the deleted
+        rows (Iceberg semantics: a delete is a new snapshot, not an
+        erasure). PHYSICAL erasure — the compliance point — needs the
+        old run dirs gone: a run stays on disk while ANY bucket still
+        references it, so rewrite its remaining buckets (e.g.
+        ``compact(min_files_per_partition=1)``) and then ``vacuum`` —
+        the exact rewrite_data_files + expire_snapshots sequence GDPR
+        deletion takes on Iceberg. Note the SOURCE table is upstream of this
+        store: re-running ingest over an unredacted source re-inserts
+        the conversation, same as any table format.
+
+        On the Iceberg branch use the native ``DELETE FROM`` (position/
+        equality deletes + rewrite_data_files own this there).
+
+        Returns {"rewritten_buckets": [...], "rows_deleted": n}.
+        """
+        if self.fmt == "iceberg":
+            raise RuntimeError(
+                "delete_conversations() is the parquet-manifest stand-in; "
+                "on the Iceberg branch run the native DELETE FROM — the "
+                "table format owns row-level deletes there"
+            )
+        conv_ids = list(dict.fromkeys(conv_ids))
+        manifest = load_manifest(self.out_dir)
+        if not manifest["buckets"]:
+            raise FileNotFoundError(f"no committed buckets under {self.out_dir}")
+        if not conv_ids:
+            return {"rewritten_buckets": [], "rows_deleted": 0}
+
+        # only buckets that are committed AND non-empty can hold rows
+        committed = {
+            int(b) for b, m in manifest["buckets"].items() if m["rows"]
+        }
+        target = self._conv_buckets(spark, conv_ids)
+        affected = sorted(committed & set(target)) if target is not None \
+            else sorted(committed)
+        if not affected:
+            return {"rewritten_buckets": [], "rows_deleted": 0}
+        by_run: dict[str, list[int]] = {}
+        for b in affected:
+            by_run.setdefault(manifest["buckets"][str(b)]["run_id"], []).append(b)
+
+        # pass 1 (pruned): exact per-(bucket, sink) counts of the doomed
+        # rows — both the rewrite list and the conservation target
+        cond = F.col("conv_id").isin(conv_ids)
+        matched = {
+            (int(r["bucket"]), str(r["sink_id"])): int(r["n"])
+            for r in self._read_committed(spark, by_run)
+            .filter(cond)
+            .groupBy("bucket", "sink_id").agg(F.count("*").alias("n"))
+            .collect()
+        }
+        if not matched:
+            return {"rewritten_buckets": [], "rows_deleted": 0}
+        hit = sorted({b for b, _ in matched})
+        hit_by_run: dict[str, list[int]] = {}
+        for b in hit:
+            hit_by_run.setdefault(
+                manifest["buckets"][str(b)]["run_id"], []).append(b)
+
+        # pass 2 (pruned): rewrite ONLY the matched buckets without the
+        # doomed rows — same plan shape as compaction (one exchange on
+        # the existing bucket column, writer ordering pre-satisfied)
+        rewriter = SinkSet(out_dir=self.out_dir, fmt=self.fmt)
+        (
+            self._read_committed(spark, hit_by_run)
+            .filter(~cond)
+            .repartition(len(hit), "bucket")
+            .sortWithinPartitions("bucket", "sink_id", "conv_id", "turn_idx")
+            .write.mode("append").partitionBy("bucket", "sink_id")
+            .parquet(rewriter._run_dir())
+        )
+        # a rewrite that emptied every bucket writes no files at all;
+        # the run dir must still exist for snapshot bookkeeping
+        os.makedirs(rewriter._run_dir(), exist_ok=True)
+
+        new_lineage = rewriter._lineage_from_footers()
+        for b in hit:
+            old = manifest["buckets"][str(b)]
+            exp = {
+                s: n - matched.get((b, s), 0) for s, n in old["sinks"].items()
+            }
+            exp = {s: n for s, n in exp.items() if n}
+            got = new_lineage.setdefault(b, {"rows": 0, "sinks": {}})
+            if got["sinks"] != exp or got["rows"] != sum(exp.values()):
+                raise RuntimeError(
+                    f"delete conservation violated for bucket {b}: expected "
+                    f"{exp!r} surviving rows, rewrite produced {got!r} — "
+                    "manifest left untouched"
+                )
+        rows_deleted = sum(matched.values())
+        rewriter.commit(new_lineage, extra={
+            "delete_of": hit, "rows_deleted": rows_deleted,
+            "n_convs_deleted": len(conv_ids),
+        })
+        return {"rewritten_buckets": hit, "rows_deleted": rows_deleted}
+
+    def merge_classified(self, spark: SparkSession, cdf: DataFrame) -> dict:
+        """Conversation-granularity MERGE (upsert) — the copy-on-write
+        ``MERGE INTO`` analogue for re-delivered conversations:
+        WHEN MATCHED, every previously committed row of the
+        conversation is replaced by the new rows (a re-delivery
+        supersedes its old turns, never interleaves with them);
+        WHEN NOT MATCHED, a plain insert. ``cdf`` is a classified +
+        bucketed frame (the exact shape ``write_classified`` takes —
+        :func:`pipeline.upsert` builds it), whose ``bucket`` column
+        MUST be computed under the manifest's pinned ``n_buckets``.
+
+        Cost shape at 100 TB: only the buckets the updates hash into
+        are read and rewritten (|touched| <= min(n_updates, B) of the
+        table), with one anti-join against the update keys to carry
+        surviving old rows — AQE broadcasts the key side when small.
+        The updates frame is persisted for the duration (it feeds the
+        insert counts, the key join, and the write).
+
+        Conservation per (bucket, sink): new footer counts must equal
+        committed - matched + inserted, checked before the manifest
+        swap; a crash leaves an unreferenced run for ``vacuum``.
+
+        Returns {"rewritten_buckets": [...], "rows_deleted": n,
+        "rows_inserted": n}.
+        """
+        if self.fmt == "iceberg":
+            raise RuntimeError(
+                "merge_classified() is the parquet-manifest stand-in; on "
+                "the Iceberg branch use the native MERGE INTO — the table "
+                "format owns row-level upserts there"
+            )
+        from pyspark.storagelevel import StorageLevel
+
+        manifest = load_manifest(self.out_dir)
+        keep = [c for c in SINK_COLUMNS if c in cdf.columns]
+        new_rows = cdf.select(*keep).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            inserted = {
+                (int(r["bucket"]), str(r["sink_id"])): int(r["n"])
+                for r in new_rows.groupBy("bucket", "sink_id")
+                .agg(F.count("*").alias("n")).collect()
+            }
+            if not inserted:
+                return {"rewritten_buckets": [], "rows_deleted": 0,
+                        "rows_inserted": 0}
+            touched = sorted({b for b, _ in inserted})
+            nb = manifest.get("n_buckets")
+            if nb is not None and touched[-1] >= int(nb):
+                raise ValueError(
+                    f"updates carry bucket {touched[-1]} but the table's "
+                    f"bucket space is n_buckets={nb} — classify the updates "
+                    "under the manifest's recorded count (pipeline.upsert "
+                    "does this)"
+                )
+
+            committed = {
+                int(b) for b, m in manifest["buckets"].items() if m["rows"]
+            }
+            cow = [b for b in touched if b in committed]
+            keys = new_rows.select("conv_id").distinct()
+            frames = [new_rows]
+            matched: dict[tuple[int, str], int] = {}
+            if cow:
+                by_run: dict[str, list[int]] = {}
+                for b in cow:
+                    by_run.setdefault(
+                        manifest["buckets"][str(b)]["run_id"], []).append(b)
+                old = self._read_committed(spark, by_run)
+                matched = {
+                    (int(r["bucket"]), str(r["sink_id"])): int(r["n"])
+                    for r in old.join(keys, "conv_id", "left_semi")
+                    .groupBy("bucket", "sink_id").agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                frames.append(old.join(keys, "conv_id", "left_anti"))
+            out = frames[0]
+            for f_ in frames[1:]:
+                out = out.unionByName(f_, allowMissingColumns=True)
+
+            rewriter = SinkSet(out_dir=self.out_dir, fmt=self.fmt)
+            (
+                out.repartition(len(touched), "bucket")
+                .sortWithinPartitions("bucket", "sink_id", "conv_id", "turn_idx")
+                .write.mode("append").partitionBy("bucket", "sink_id")
+                .parquet(rewriter._run_dir())
+            )
+            new_lineage = rewriter._lineage_from_footers()
+            for b in touched:
+                old_sinks = manifest["buckets"].get(
+                    str(b), {"sinks": {}})["sinks"]
+                exp = dict(old_sinks)
+                for (bb, s), n in matched.items():
+                    if bb == b:
+                        exp[s] = exp.get(s, 0) - n
+                for (bb, s), n in inserted.items():
+                    if bb == b:
+                        exp[s] = exp.get(s, 0) + n
+                exp = {s: n for s, n in exp.items() if n}
+                got = new_lineage.setdefault(b, {"rows": 0, "sinks": {}})
+                if got["sinks"] != exp or got["rows"] != sum(exp.values()):
+                    raise RuntimeError(
+                        f"merge conservation violated for bucket {b}: "
+                        f"expected {exp!r}, rewrite produced {got!r} — "
+                        "manifest left untouched"
+                    )
+            rows_deleted = sum(matched.values())
+            rows_inserted = sum(inserted.values())
+            rewriter.commit(new_lineage, extra={
+                "merge_of": touched, "rows_deleted": rows_deleted,
+                "rows_inserted": rows_inserted,
+            })
+            return {"rewritten_buckets": touched,
+                    "rows_deleted": rows_deleted,
+                    "rows_inserted": rows_inserted}
+        finally:
+            new_rows.unpersist()
 
     # -- maintenance (Iceberg rewrite_data_files / expire_snapshots
     #    stand-ins) ------------------------------------------------------
