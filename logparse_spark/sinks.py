@@ -74,6 +74,55 @@ def load_manifest(out_dir: str) -> dict:
         return json.load(f)
 
 
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency failure: a bucket this commit rewrote was
+    repointed by another commit after we read it — the analogue of
+    Iceberg's snapshot-validation failure. Re-read and retry the op."""
+
+
+class _commit_lock:
+    """Serializes manifest read-modify-write across processes on one
+    host via an O_EXCL lockfile (the catalog-CAS stand-in; on Iceberg
+    the catalog's atomic swap owns this). Stale locks (holder died)
+    are broken after ``stale_sec``."""
+
+    def __init__(self, out_dir: str, timeout: float = 30.0,
+                 stale_sec: float = 300.0):
+        self.path = os.path.join(out_dir, MANIFEST_DIR, "LOCK")
+        self.timeout = timeout
+        self.stale_sec = stale_sec
+
+    def __enter__(self):
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        deadline = time.monotonic() + self.timeout
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self.path)
+                    if age > self.stale_sec:
+                        os.unlink(self.path)  # holder died mid-commit
+                        continue
+                except FileNotFoundError:
+                    continue  # released between our open and stat
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock {self.path} held for {self.timeout}s — "
+                        "another commit in flight (or raise stale_sec)"
+                    )
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp.{uuid.uuid4().hex}"
@@ -303,7 +352,8 @@ class SinkSet:
         return _aggregate_partition_rows(triples)
 
     def commit(self, lineage: dict[int, dict], extra: dict | None = None,
-               n_buckets: int | None = None) -> None:
+               n_buckets: int | None = None,
+               expected_runs: dict[int, str] | None = None) -> None:
         """Atomically publish buckets (the Iceberg-snapshot stand-in).
 
         ``n_buckets`` pins the TOTAL bucket-space size in the manifest
@@ -313,36 +363,61 @@ class SinkSet:
         conversation across unrelated bucket ids. Mismatches raise
         here instead (the table-format analogue: Iceberg stores the
         bucket transform's N in the partition spec and never lets two
-        specs share ids)."""
-        manifest = load_manifest(self.out_dir)
-        if n_buckets is not None:
-            prev = manifest.get("n_buckets")
-            if prev is not None and int(prev) != int(n_buckets):
-                raise ValueError(
-                    f"commit with n_buckets={n_buckets} but {self.out_dir} "
-                    f"was committed under n_buckets={prev}; bucket ids are "
-                    "not comparable across counts — resume with the "
-                    "recorded count (buckets='auto' does this)"
-                )
-            manifest["n_buckets"] = int(n_buckets)
-        for b, entry in lineage.items():
-            manifest["buckets"][str(b)] = {
+        specs share ids).
+
+        Concurrency: the manifest read-modify-write runs under the
+        commit lock (``_commit_lock``, the catalog-CAS stand-in) so
+        interleaved commits can never lose each other's buckets. A
+        REWRITE commit (compact/delete/merge) additionally passes
+        ``expected_runs`` — the {bucket: run_id} mapping it READ — and
+        the commit raises :class:`CommitConflict` if any of those
+        buckets was repointed since (its rewrite is based on stale
+        data), the exact optimistic validation Iceberg applies to
+        concurrent snapshots. Append commits of fresh buckets need no
+        expectation: the lock alone makes them serializable."""
+        with _commit_lock(self.out_dir):
+            manifest = load_manifest(self.out_dir)
+            if expected_runs is not None:
+                stale = {
+                    b: (exp, (manifest["buckets"].get(str(b)) or {}).get("run_id"))
+                    for b, exp in expected_runs.items()
+                    if (manifest["buckets"].get(str(b)) or {}).get("run_id") != exp
+                }
+                if stale:
+                    raise CommitConflict(
+                        f"bucket(s) {sorted(stale)} were repointed by another "
+                        f"commit after this rewrite read them "
+                        f"({ {b: f'{e} -> {g}' for b, (e, g) in stale.items()} }) "
+                        "— manifest left untouched; re-read and retry"
+                    )
+            if n_buckets is not None:
+                prev = manifest.get("n_buckets")
+                if prev is not None and int(prev) != int(n_buckets):
+                    raise ValueError(
+                        f"commit with n_buckets={n_buckets} but {self.out_dir} "
+                        f"was committed under n_buckets={prev}; bucket ids are "
+                        "not comparable across counts — resume with the "
+                        "recorded count (buckets='auto' does this)"
+                    )
+                manifest["n_buckets"] = int(n_buckets)
+            for b, entry in lineage.items():
+                manifest["buckets"][str(b)] = {
+                    "run_id": self.run_id,
+                    "rows": entry["rows"],
+                    "sinks": entry["sinks"],
+                }
+            entry = {
                 "run_id": self.run_id,
-                "rows": entry["rows"],
-                "sinks": entry["sinks"],
+                "committed_buckets": sorted(int(b) for b in lineage),
+                "wall_time": time.time(),
+                **(extra or {}),
             }
-        entry = {
-            "run_id": self.run_id,
-            "committed_buckets": sorted(int(b) for b in lineage),
-            "wall_time": time.time(),
-            **(extra or {}),
-        }
-        if self._convs_approx is not None:
-            # per-sink approx_count_distinct(conv_id) from the write's
-            # Observation — the cardinality metric rides the manifest
-            entry["convs_approx"] = dict(self._convs_approx)
-        manifest["history"].append(entry)
-        _atomic_write_json(_manifest_path(self.out_dir), manifest)
+            if self._convs_approx is not None:
+                # per-sink approx_count_distinct(conv_id) from the write's
+                # Observation — the cardinality metric rides the manifest
+                entry["convs_approx"] = dict(self._convs_approx)
+            manifest["history"].append(entry)
+            _atomic_write_json(_manifest_path(self.out_dir), manifest)
 
     # -- read side -----------------------------------------------------
 
@@ -579,14 +654,15 @@ class SinkSet:
             .collect()
         }
         if record:
-            manifest = load_manifest(self.out_dir)
-            manifest["history"].append({
-                "run_id": self.run_id,
-                "op": "cardinality",
-                "wall_time": time.time(),
-                "convs_exact": counts,
-            })
-            _atomic_write_json(_manifest_path(self.out_dir), manifest)
+            with _commit_lock(self.out_dir):
+                manifest = load_manifest(self.out_dir)
+                manifest["history"].append({
+                    "run_id": self.run_id,
+                    "op": "cardinality",
+                    "wall_time": time.time(),
+                    "convs_exact": counts,
+                })
+                _atomic_write_json(_manifest_path(self.out_dir), manifest)
         return counts
 
     # -- row-level operations (Iceberg DELETE FROM / MERGE INTO
@@ -724,6 +800,8 @@ class SinkSet:
         rewriter.commit(new_lineage, extra={
             "delete_of": hit, "rows_deleted": rows_deleted,
             "n_convs_deleted": len(conv_ids),
+        }, expected_runs={
+            b: manifest["buckets"][str(b)]["run_id"] for b in hit
         })
         return {"rewritten_buckets": hit, "rows_deleted": rows_deleted}
 
@@ -837,6 +915,8 @@ class SinkSet:
             rewriter.commit(new_lineage, extra={
                 "merge_of": touched, "rows_deleted": rows_deleted,
                 "rows_inserted": rows_inserted,
+            }, expected_runs={
+                b: manifest["buckets"][str(b)]["run_id"] for b in cow
             })
             return {"rewritten_buckets": touched,
                     "rows_deleted": rows_deleted,
@@ -977,7 +1057,8 @@ class SinkSet:
                     f"committed {old!r}, rewrite produced {got!r} — "
                     f"manifest left untouched"
                 )
-        compactor.commit(new_lineage, extra={"compaction_of": sorted(by_run)})
+        compactor.commit(new_lineage, extra={"compaction_of": sorted(by_run)},
+                         expected_runs=todo)
         files_after = files_before
         for b in todo:
             base = os.path.join(compactor._run_dir(), f"bucket={b}")
