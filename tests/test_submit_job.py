@@ -82,3 +82,47 @@ def test_spark_submit_pyfiles(tmp_path, fixture_sf_small):
     with open(report, encoding="utf-8") as f:
         txt = f.read()
     assert "rule authfail" in txt and "unmatched:" in txt
+
+
+def test_table_tool_cli(tmp_path, fixture_sf_small, spark):
+    """The operational CLI, driven the way an operator would: build a
+    table via the ship path, then exercise snapshots (plain python, no
+    Spark) and a bucket-pruned delete (spark-submit) end to end."""
+    import sys
+
+    out_dir = _run_job(tmp_path, fixture_sf_small, "routed_tt", "local[4]", 8)
+    tool = "/root/repo/jobs/table_tool.py"
+
+    # snapshots: a pure manifest read, runs under plain `python`
+    proc = subprocess.run(
+        [sys.executable, tool, "--out", out_dir, "snapshots"],
+        capture_output=True, text=True, timeout=60, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    snaps = json.loads(proc.stdout.strip().splitlines()[-1])["snapshots"]
+    assert snaps and snaps[0]["snapshot_id"] == 0
+
+    # delete: a real Spark job through spark-submit --py-files
+    conv = spark.read.parquet(
+        os.path.join(fixture_sf_small, "transcripts.parquet")
+    ).select("conv_id").first()["conv_id"]
+    zpath = build_pyfiles_zip(str(tmp_path))
+    proc = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--py-files", zpath, tool,
+         "--out", out_dir, "delete", "--conv-id", conv],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["rows_deleted"] > 0 and len(res["rewritten_buckets"]) == 1
+
+    # the table reflects the delete and logs the snapshot
+    from logparse_spark.sinks import SinkSet
+
+    ss = SinkSet(out_dir=out_dir)
+    assert ss._read_committed(spark).filter(
+        f"conv_id = '{conv}'").count() == 0
+    assert "delete_of" in ss.snapshots()[-1]
