@@ -5,7 +5,7 @@ this module is the graft's forward path: the same ``stages.*``
 DataFrame functions run unchanged under ``readStream`` because they
 are pure DataFrame->DataFrame transforms.
 
-Two surfaces:
+Surfaces:
 
 - ``run_stream``: incremental ETL via ``foreachBatch`` — each
   micro-batch goes through parse -> route -> fan-out write into its
@@ -17,6 +17,12 @@ Two surfaces:
 - ``windowed_sink_counts``: a stateful watermarked tumbling-window
   aggregation (late data handled by the watermark), the streaming
   analogue of the batch time_buckets query.
+- ``upsert_stream``: CDC-style ingestion — foreachBatch around the
+  copy-on-write conversation MERGE (sinks.merge_classified), replay-
+  convergent where a plain append would duplicate.
+- ``dedup_stream`` / ``session_counts`` / ``conversation_progress``:
+  watermark-bounded ingest dedup, session windows, and the
+  applyInPandasWithState custom stateful operator.
 
 ``trigger(availableNow=True)`` drains everything present then stops —
 that is how tests (and backfills) run the stream to completion.
@@ -165,6 +171,74 @@ def make_batch_writer(compiled: CompiledRules, out_dir: str, engine: str = "udf"
         )
 
     return process_batch
+
+
+def upsert_stream(
+    spark: SparkSession,
+    source_dir: str,
+    table_dir: str,
+    rules_path: str = "/root/repo/rules/default.rules",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    dict_dir: str | None = None,
+    engine: str = "udf",
+    glob_filter: str | None = None,
+):
+    """CDC-style upsert ingestion: each micro-batch of re-delivered or
+    new conversations is classified with the same compiled rules and
+    MERGED into an existing committed SinkSet table at conversation
+    granularity (``SinkSet.merge_classified``) — the standard lakehouse
+    ``foreachBatch`` + MERGE idiom, pointed at the copy-on-write merge
+    instead of an append.
+
+    Delivery semantics: foreachBatch is at-least-once (a batch whose
+    merge committed but whose checkpoint did not is REPLAYED). The
+    merge makes the replay convergent rather than duplicating: a
+    conversation is wholesale-replaced, so re-merging the identical
+    batch deletes what the first attempt inserted and inserts it again
+    — same final table. Concurrent writers are serialized by the
+    commit lock, and a racing rewrite surfaces as CommitConflict
+    (sinks.py) instead of silent lost rows.
+
+    Scale shape per micro-batch: only the buckets the batch's
+    conversations hash into are read and rewritten (BENCH/ROWOPS.md);
+    the run-dir accretion a long-lived upsert stream causes is exactly
+    what ``SinkSet.compact``/``vacuum`` maintain away. On the Iceberg
+    branch this function is a foreachBatch around the native
+    ``MERGE INTO``."""
+    from .pipeline import _load_dicts, classify
+    from .sinks import SinkSet, load_manifest
+
+    compiled = load_rules(rules_path)
+    nb = load_manifest(table_dir).get("n_buckets")
+    if nb is None:
+        raise ValueError(
+            f"{table_dir} has no recorded n_buckets — upsert_stream merges "
+            "into an EXISTING table; run the initial pipeline load first"
+        )
+    role_dict = tool_dict = None
+    if dict_dir:
+        role_dict, tool_dict = _load_dicts(spark, dict_dir)
+    checkpoint_dir = checkpoint_dir or os.path.join(table_dir, "_upsert_checkpoint")
+
+    def process_batch(df: DataFrame, batch_id: int) -> None:
+        cdf = classify(
+            df, compiled, role_dict, tool_dict,
+            buckets=int(nb), engine=engine,
+        )
+        SinkSet(out_dir=table_dir).merge_classified(df.sparkSession, cdf)
+
+    sdf = stream_transcripts(spark, source_dir, glob_filter=glob_filter)
+    writer = (
+        sdf.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
 
 
 def dedup_stream(

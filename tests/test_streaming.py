@@ -439,3 +439,93 @@ def test_dedup_stream_resume_from_checkpoint_e2e(spark, tmp_path):
         f.write("sink_id/v0\n")
     with pytest.raises(RuntimeError, match="layout"):
         streaming.make_batch_writer(compiled, out)
+
+
+def test_upsert_stream_cdc(spark, fixture_sf_small, tmp_path):
+    """CDC upsert ingestion: re-delivered conversations arriving as a
+    stream are MERGED into a committed table — replaced wholesale, new
+    conversations inserted, untouched rows bit-identical — and a full
+    replay (fresh checkpoint, same source) CONVERGES instead of
+    duplicating, the property that makes at-least-once foreachBatch
+    exactly-once-equivalent here."""
+    import datetime
+
+    from logparse_spark import pipeline
+    from logparse_spark.sinks import SinkSet
+    from logparse_spark.streaming import upsert_stream
+
+    table = str(tmp_path / "table")
+    pipeline.run(
+        spark,
+        source_path=f"{fixture_sf_small}/transcripts.parquet",
+        out_dir=table,
+        rules_path=RULES,
+        dict_dir=fixture_sf_small,
+        buckets=8,
+    )
+    full = lambda: SinkSet(out_dir=table)._read_committed(spark)
+    convs = sorted(
+        r["conv_id"] for r in full().select("conv_id").distinct().limit(2).collect()
+    )
+    before = full().collect()
+    ts = datetime.datetime(2026, 4, 1)
+
+    src = tmp_path / "updates_src"
+    src.mkdir()
+
+    def deliver(name, conv, n_turns, text):
+        # flat FILES in the watched dir (the file source does not
+        # recurse into Spark-style output directories)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.table({
+            "conv_id": [conv] * n_turns,
+            "turn_idx": pa.array(range(n_turns), type=pa.int32()),
+            "role": ["assistant"] * n_turns,
+            "text": [text] * n_turns,
+            "tool": pa.array([None] * n_turns, type=pa.string()),
+            "ts": pa.array([ts] * n_turns,
+                           type=pa.timestamp("us")),
+        }), str(src / f"{name}.parquet"))
+
+    # arrival 1: conv[0] re-delivered (2 turns) + a brand-new conv
+    deliver("f1", convs[0], 2, "err 1 step 1: disk quota exceeded")
+    deliver("f1b", "convCDC0001", 3, "login failed for user cdc")
+    ckpt = str(tmp_path / "ckpt")
+    upsert_stream(spark, str(src), table, rules_path=RULES,
+                  checkpoint_dir=ckpt, dict_dir=fixture_sf_small)
+
+    after1 = full().collect()
+    assert len([r for r in after1 if r["conv_id"] == convs[0]]) == 2
+    assert len([r for r in after1 if r["conv_id"] == "convCDC0001"]) == 3
+
+    # arrival 2 on the SAME checkpoint: only the new file is processed
+    deliver("f2", convs[1], 4, "heartbeat ping seq=77")
+    upsert_stream(spark, str(src), table, rules_path=RULES,
+                  checkpoint_dir=ckpt, dict_dir=fixture_sf_small)
+    after2 = full().collect()
+    assert len([r for r in after2 if r["conv_id"] == convs[1]]) == 4
+    # untouched conversations identical to the original load
+    key = lambda r: (r["bucket"], r["sink_id"], r["conv_id"],
+                     r["turn_idx"], r["rendered"])
+    touched = set(convs) | {"convCDC0001"}
+    assert sorted(key(r) for r in after2 if r["conv_id"] not in touched) == \
+        sorted(key(r) for r in before if r["conv_id"] not in touched)
+
+    # full replay with a FRESH checkpoint: convergent, no duplication
+    upsert_stream(spark, str(src), table, rules_path=RULES,
+                  checkpoint_dir=str(tmp_path / "ckpt2"),
+                  dict_dir=fixture_sf_small)
+    assert sorted(map(key, full().collect())) == sorted(map(key, after2))
+
+    # the merge snapshots are on the log; incremental scans refuse them
+    snaps = SinkSet(out_dir=table).snapshots()
+    assert sum(1 for h in snaps if "merge_of" in h) >= 3
+    with pytest.raises(ValueError, match="row-level modification"):
+        SinkSet(out_dir=table).changes(spark, since=0)
+
+    # an unloaded table refuses (no pinned bucket space)
+    with pytest.raises(ValueError, match="n_buckets"):
+        upsert_stream(spark, str(src), str(tmp_path / "nope"),
+                      rules_path=RULES)
