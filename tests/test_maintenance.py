@@ -358,3 +358,46 @@ def test_incremental_changes(spark, compact_out):
     SinkSet(out_dir=compact_out).vacuum(min_age_minutes=0)
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         ss2.changes(spark, since=-1, until=0)
+
+
+def test_cross_run_schema_drift_union_and_compact(spark, fixture_sf_small,
+                                                  tmp_path):
+    """Schema evolution across commits: a run WITHOUT dictionaries
+    commits half the buckets (no enrichment columns), a resumed run
+    WITH dictionaries commits the rest (wider schema). Readers must
+    union with nulls for the missing columns (allowMissingColumns —
+    the table-format schema-evolution answer) and compaction must
+    rewrite across the drifted runs without AnalysisException."""
+    out = str(tmp_path / "t")
+    src = f"{fixture_sf_small}/transcripts.parquet"
+    with pytest.raises(RuntimeError, match="injected failure"):
+        pipeline.run(spark, source_path=src, out_dir=out, rules_path=RULES,
+                     buckets=8, groups=2, fail_after_groups=1)
+    pipeline.run(spark, source_path=src, out_dir=out, rules_path=RULES,
+                 dict_dir=fixture_sf_small, buckets=8, groups=2)
+
+    sink = SinkSet(out_dir=out)
+    manifest = load_manifest(out)["buckets"]
+    runs = {m["run_id"] for m in manifest.values()}
+    assert len(runs) >= 2, "fixture failed to produce drifted runs"
+
+    df = sink.read_routed(spark)
+    assert "role_class" in df.columns  # wider run's column visible
+    rows = df.select("bucket", "role_class").collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], set()).add(r["role_class"] is None)
+    # the narrow run's buckets read ALL-null; the wide run's buckets
+    # have values (mixed with legitimate left-join-miss nulls)
+    all_null = {b for b, s in by_bucket.items() if s == {True}}
+    has_vals = {b for b, s in by_bucket.items() if False in s}
+    assert all_null and has_vals and not (all_null & has_vals)
+    assert all_null | has_vals == set(by_bucket)
+
+    n_before = df.count()
+    res = sink.compact(spark, min_files_per_partition=1)
+    assert res["rewritten_buckets"]
+    after = SinkSet(out_dir=out).read_routed(spark)
+    assert after.count() == n_before
+    # conservation survived the cross-schema rewrite
+    assert load_manifest(out)["buckets"].keys() == manifest.keys()
