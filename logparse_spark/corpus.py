@@ -551,6 +551,7 @@ def build_ann_index(
     index_dir: str,
     n_tables: int = 2,
     k_cells: int = 4,
+    emb: DataFrame | None = None,
 ) -> str:
     """Materialize the ANN index ONCE so query workloads never re-derive
     it (round-2 gap: ann_search recomputed signatures per call while its
@@ -573,8 +574,17 @@ def build_ann_index(
     instead of every task spraying a file into all n_tables x 64 dirs.
     A one-time cost amortized over every probe thereafter (the same
     trade Iceberg bucket-partitioning makes for the transcripts table).
+
+    The index is SELF-CONTAINED for growth: the IVF centroids are
+    persisted (``<index_dir>/centroids``) so newly arrived vectors can
+    be added with :func:`append_ann_index` — assigned against the SAME
+    quantizer, never a re-derivation that could drift — and the LSH
+    hyperplanes are md5-seeded constants, identical in every process.
+
+    ``emb`` overrides the indexed frame (default: the sf_dir embeddings
+    table) — the hook the append test uses to build a partial index.
     """
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir) if emb is None else emb
     sigs = F.array(*[_lsh_bucket_col(table=t) for t in range(n_tables)])
     (
         emb.select("vec_id", "embedding", F.posexplode(sigs).alias("t", "bucket"))
@@ -600,7 +610,60 @@ def build_ann_index(
         .write.mode("overwrite").partitionBy("cell")
         .parquet(os.path.join(index_dir, "ivf"))
     )
+    # persist the quantizer itself: append_ann_index must assign new
+    # vectors against the centroids this build used, not re-derive them
+    cents.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids"))
     return index_dir
+
+
+def append_ann_index(
+    spark: SparkSession,
+    new_emb: DataFrame,
+    index_dir: str,
+    n_tables: int = 2,
+) -> dict:
+    """Incremental index maintenance: add newly arrived vectors to a
+    materialized ANN index WITHOUT rebuilding it — the growth path a
+    production index needs (at 100 TB a rebuild per ingest batch is a
+    full-corpus pass; an append is one narrow map over the batch).
+
+    ``new_emb`` is a (vec_id, embedding) frame of the new vectors.
+    LSH: the hyperplanes are seeded constants, so the batch's exploded
+    signatures drop into the existing ``(t, bucket)`` partition dirs
+    with ``mode("append")`` — probes prune exactly as before and see
+    old + new candidates in one scan. IVF: the batch is assigned
+    against the PERSISTED centroids (``<index_dir>/centroids``, written
+    at build time), never a re-derivation — re-deriving from a grown
+    corpus would silently shift cell boundaries and orphan the existing
+    assignments. Cell sizes drift as the corpus grows; when probe cost
+    shows it, rebuild with a larger K (the standard IVF re-train),
+    which ``build_ann_index``'s overwrite does in place.
+
+    Returns {"lsh_rows": n, "ivf_rows": n}.
+    """
+    sigs = F.array(*[_lsh_bucket_col(table=t) for t in range(n_tables)])
+    lsh = new_emb.select(
+        "vec_id", "embedding", F.posexplode(sigs).alias("t", "bucket")
+    ).repartition("t", "bucket")
+    lsh.write.mode("append").partitionBy("t", "bucket").parquet(
+        os.path.join(index_dir, "lsh"))
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    csim = _dot_col("embedding", "ce") / (
+        F.sqrt(_dot_col("embedding", "embedding")) * F.sqrt(_dot_col("ce", "ce"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    cells = (
+        new_emb.crossJoin(F.broadcast(cents)).withColumn("csim", csim)
+        .withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", F.col("cid").alias("cell"), "embedding")
+    )
+    cells.repartition("cell").write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, "ivf"))
+    n = new_emb.count()
+    return {"lsh_rows": n * n_tables, "ivf_rows": n}
 
 
 # (sf_dir, n_tables) -> materialized index dir, built once per process;

@@ -126,3 +126,51 @@ def test_ivf_nprobe_full_reproduces_brute(spark):
         corpus.ann_search(spark, SF, "ivf", query_ids=qids, k=5, nprobe=4).collect()
     )
     assert full == brute
+
+
+def test_append_ann_index_matches_one_shot(spark, tmp_path):
+    """Incremental index growth: an index built on half the corpus and
+    appended with the other half must answer probe workloads
+    IDENTICALLY to an index built in one shot — for both the LSH and
+    IVF layouts — because the hyperplanes are seeded constants and the
+    appended vectors are assigned against the persisted centroids."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logparse_spark.corpus import (
+        _emb,
+        ann_search,
+        append_ann_index,
+        build_ann_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = _emb(spark, sf)
+    n = emb.count()
+    half = n // 2
+    one_shot = build_ann_index(spark, sf, str(tmp_path / "full"))
+    grown = build_ann_index(
+        spark, sf, str(tmp_path / "half"),
+        emb=emb.filter(F.col("vec_id") < half),
+    )
+    res = append_ann_index(
+        spark, emb.filter(F.col("vec_id") >= half), grown)
+    assert res["ivf_rows"] == n - half
+
+    qids = [0, 7, 23]
+    for method in ("lsh", "ivf"):
+        a = ann_search(spark, sf, method=method, query_ids=qids, k=5,
+                       index_dir=one_shot)
+        b = ann_search(spark, sf, method=method, query_ids=qids, k=5,
+                       index_dir=grown)
+        assert sorted(map(tuple, a.collect())) == \
+            sorted(map(tuple, b.collect())), method
+
+    # appended files landed INSIDE the existing partition layout (no
+    # new top-level dirs; probes prune exactly as before)
+    tops = {d.split("=")[0] for d in os.listdir(os.path.join(grown, "lsh"))
+            if not d.startswith(("_", "."))}
+    assert tops == {"t"}
+    cents = spark.read.parquet(os.path.join(grown, "centroids"))
+    assert cents.count() == 4
