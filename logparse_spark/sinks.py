@@ -149,14 +149,6 @@ def _aggregate_partition_rows(triples) -> dict[int, dict]:
     return lineage
 
 
-def _run_has_parquet(base: str) -> bool:
-    """True if a run dir holds at least one data file (early-exit walk)."""
-    for _, _, files in os.walk(base):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
-
-
 def iceberg_available(spark: SparkSession) -> bool:
     """True when an Iceberg runtime + catalog is on the classpath."""
     try:
@@ -490,14 +482,29 @@ class SinkSet:
         frames = []
         for run_id, bs in sorted(by_run.items()):
             base = os.path.join(self.out_dir, "runs", run_id)
-            # a run can legitimately hold ZERO data files: a delete that
-            # emptied every bucket it rewrote still commits (the buckets
-            # repoint to it with rows=0). Parquet cannot infer a schema
-            # from nothing, so such runs are skipped — they contribute
-            # no rows by definition.
-            if not _run_has_parquet(base):
+            # list ONLY the selected buckets' partition dirs, not the
+            # whole run: a point lookup or k-conv delete then plans over
+            # k directories instead of listing every file the run ever
+            # wrote (measured 1,315 files at sf10 — the listing itself
+            # must prune, not just the scan). basePath keeps bucket +
+            # sink_id as partition columns. A missing dir is a bucket
+            # that legitimately holds no rows (emptied by a delete, or
+            # never produced): skipped — parquet cannot infer a schema
+            # from nothing, and such buckets contribute no rows by
+            # definition.
+            avail = {
+                d for d in os.listdir(base) if d.startswith("bucket=")
+            } if os.path.isdir(base) else set()
+            sel = {f"bucket={b}" for b in bs} & avail
+            if not sel:
                 continue
-            df = spark.read.option("basePath", base).parquet(base)
+            if sel == avail:
+                # whole-run read: one root path plans faster than
+                # hundreds of explicit dirs
+                df = spark.read.option("basePath", base).parquet(base)
+            else:
+                df = spark.read.option("basePath", base).parquet(
+                    *[os.path.join(base, d) for d in sorted(sel)])
             frames.append(df.filter(F.col("bucket").isin(bs)))
         if not frames:
             raise FileNotFoundError(
