@@ -44,6 +44,8 @@ def main() -> None:
     lk = sub.add_parser("lookup")
     lk.add_argument("--conv-id", required=True)
     lk.add_argument("--limit", type=int, default=1000)
+    lk.add_argument("--as-of", type=int, default=None,
+                    help="snapshot id to time-travel the lookup to")
     ch = sub.add_parser("changes")
     ch.add_argument("--since", type=int, required=True)
     ch.add_argument("--until", type=int, default=None)
@@ -82,7 +84,7 @@ def main() -> None:
             ))
         elif args.op == "lookup":
             rows = (
-                ss.read_conversation(spark, args.conv_id)
+                ss.read_conversation(spark, args.conv_id, as_of=args.as_of)
                 .orderBy("turn_idx").limit(args.limit).collect()
             )
             print(json.dumps({"conv_id": args.conv_id, "n": len(rows),

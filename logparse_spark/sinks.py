@@ -596,8 +596,8 @@ class SinkSet:
             )
         return self._read_committed(spark, by_run)
 
-    def read_conversation(self, spark: SparkSession,
-                          conv_id: str) -> DataFrame:
+    def read_conversation(self, spark: SparkSession, conv_id: str,
+                          as_of: int | None = None) -> DataFrame:
         """Point lookup of ONE conversation across all sinks — the
         operational read a routed log store actually serves ("show me
         everything conversation X produced") — touching 1/n_buckets of
@@ -618,9 +618,15 @@ class SinkSet:
         Pre-``n_buckets`` manifests (or a bucket no run committed)
         degrade gracefully: the bucket filter still partition-prunes
         whatever layout exists; correctness never depends on the
-        manifest hint."""
+        manifest hint.
+
+        ``as_of`` time-travels the lookup to an earlier snapshot — the
+        audit read ("what did conversation X look like before that
+        delete/merge?"), same semantics and expiry behavior as
+        :meth:`read_routed`."""
         manifest = load_manifest(self.out_dir)
-        by_run = self._committed_by_run()
+        by_run = self._buckets_as_of(as_of) if as_of is not None \
+            else self._committed_by_run()
         nb = manifest.get("n_buckets")
         cond = F.col("conv_id") == conv_id
         if nb:

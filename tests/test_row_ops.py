@@ -150,6 +150,11 @@ def test_delete_snapshot_semantics(spark, table):
     assert _full(spark, table).count() == n_before - res["rows_deleted"]
     at_pre = ss2.read_routed(spark, as_of=pre)
     assert at_pre.filter(F.col("conv_id") == conv).count() > 0
+    # the point lookup agrees on both sides of the snapshot (the
+    # audit read): gone live, present as-of the pre-delete snapshot
+    assert ss2.read_conversation(spark, conv).count() == 0
+    assert ss2.read_conversation(spark, conv, as_of=pre).count() == \
+        res["rows_deleted"]
 
     # an incremental append scan may not cross the delete snapshot
     with pytest.raises(ValueError, match="row-level modification"):
@@ -309,3 +314,40 @@ def test_delete_whole_table_leaves_readable_manifest(spark, table):
     # resume bookkeeping intact: every bucket still reads as committed
     from logparse_spark.sinks import committed_buckets
     assert committed_buckets(table) == {int(b) for b in manifest}
+
+
+def test_delete_crash_before_commit_leaves_table_intact(spark, table,
+                                                        monkeypatch):
+    """A delete that dies between its rewrite and its commit (the
+    window a real crash hits) must leave the manifest untouched — the
+    table reads exactly as before — and leave only an unreferenced run
+    dir behind, which vacuum's min-age guard protects and a later
+    vacuum collects."""
+    from logparse_spark import sinks as sinks_mod
+
+    before = sorted(map(tuple, _full(spark, table).collect()))
+    conv = _full(spark, table).first()["conv_id"]
+    runs_before = set(os.listdir(os.path.join(table, "runs")))
+    manifest_before = load_manifest(table)
+
+    def boom(self, *a, **k):
+        raise RuntimeError("injected crash before commit")
+
+    monkeypatch.setattr(sinks_mod.SinkSet, "commit", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        SinkSet(out_dir=table).delete_conversations(spark, [conv])
+    monkeypatch.undo()
+
+    # manifest untouched -> readers see the original table
+    assert load_manifest(table) == manifest_before
+    assert sorted(map(tuple, _full(spark, table).collect())) == before
+    # exactly one orphan run dir appeared; min-age guard spares it,
+    # explicit collection removes it
+    orphans = set(os.listdir(os.path.join(table, "runs"))) - runs_before
+    assert len(orphans) == 1
+    assert SinkSet(out_dir=table).vacuum() == []
+    assert set(SinkSet(out_dir=table).vacuum(min_age_minutes=0)) == orphans
+
+    # and the op, retried cleanly, succeeds
+    res = SinkSet(out_dir=table).delete_conversations(spark, [conv])
+    assert res["rows_deleted"] > 0
