@@ -6,11 +6,12 @@ operator of the routed store actually uses, one spark-submit away:
         snapshots                          # the commit log (VERSION list)
     ... compact [--max-records-per-file N] # rewrite_data_files analogue
     ... vacuum  [--min-age-minutes M]      # expire/remove_orphans analogue
-    ... lookup --conv-id X [--as-json]     # bucket-pruned point read
+    ... lookup --conv-id X [--as-of K]     # bucket-pruned point read
     ... changes --since K [--until J]      # incremental scan of new commits
     ... cardinality                        # exact per-sink conv counts
     ... delete --conv-id X [--conv-id Y]   # DELETE FROM analogue (COW)
     ... upsert --source P --rules R [--dict-dir D]  # MERGE INTO analogue
+    ... rollback --to K                    # repoint table to snapshot K
 
 Every subcommand prints ONE JSON line so callers can pipe it.
 """
@@ -59,6 +60,9 @@ def main() -> None:
                     help="transcripts parquet of re-delivered/new convs")
     up.add_argument("--rules", default="rules/default.rules")
     up.add_argument("--dict-dir", default=None)
+    rb = sub.add_parser("rollback")
+    rb.add_argument("--to", type=int, required=True,
+                    help="snapshot id to repoint the live table at")
     args = p.parse_args()
 
     from logparse_spark.sinks import SinkSet
@@ -66,6 +70,10 @@ def main() -> None:
     ss = SinkSet(out_dir=args.out)
     if args.op == "snapshots":
         print(json.dumps({"snapshots": ss.snapshots()}))
+        return
+    if args.op == "rollback":
+        # pure manifest + parquet-footer operation: no Spark session
+        print(json.dumps(ss.rollback(args.to)))
         return
 
     from pyspark.sql import SparkSession

@@ -440,10 +440,21 @@ class SinkSet:
                 f"snapshot {as_of} out of range: {self.out_dir} has "
                 f"{len(snaps)} snapshot(s)"
             )
-        owner: dict[int, str] = {}
-        for h in snaps[: as_of + 1]:
-            for b in h["committed_buckets"]:
-                owner[int(b)] = h["run_id"]
+
+        def owner_as_of(i: int) -> dict[int, str]:
+            owner: dict[int, str] = {}
+            for h in snaps[: i + 1]:
+                if "rollback_to" in h:
+                    # a rollback REPLACES the live mapping with the
+                    # target's (buckets first committed after the target
+                    # drop out); its own run_id never owns data
+                    owner = owner_as_of(int(h["rollback_to"]))
+                else:
+                    for b in h["committed_buckets"]:
+                        owner[int(b)] = h["run_id"]
+            return owner
+
+        owner = owner_as_of(as_of)
         by_run: dict[str, list[int]] = {}
         for b, run_id in owner.items():
             by_run.setdefault(run_id, []).append(b)
@@ -568,10 +579,10 @@ class SinkSet:
             )
         by_run: dict[str, list[int]] = {}
         for h in snaps[since + 1: until + 1]:
-            if "delete_of" in h or "merge_of" in h:
+            if "delete_of" in h or "merge_of" in h or "rollback_to" in h:
                 raise ValueError(
                     f"snapshot {h['snapshot_id']} is a row-level "
-                    "modification (delete/merge): an append-only "
+                    "modification (delete/merge/rollback): an append-only "
                     "incremental scan across it is undefined — consume "
                     "deltas up to it, then re-read the table (Iceberg "
                     "IncrementalAppendScan refuses overwrite snapshots "
@@ -642,6 +653,51 @@ class SinkSet:
             by_run = hit_runs or dict(list(by_run.items())[:1])
             cond = cond & (F.col("bucket") == b)
         return self._read_committed(spark, by_run).filter(cond)
+
+    def rollback(self, to_snapshot: int) -> dict:
+        """Repoint the LIVE table to an earlier snapshot's bucket -> run
+        mapping — the ``rollback_to_snapshot`` analogue, and the undo
+        for a bad append/compaction/delete/merge. A PURE manifest
+        operation: no data moves; it works exactly while the target
+        snapshot's runs still exist (un-vacuumed — expired targets
+        raise, same as time-travel reads). The rollback itself is a new
+        snapshot on the log (Iceberg semantics: history is append-only;
+        rolling back never erases the rolled-back commits), so it is
+        itself rollback-able. Buckets first committed AFTER the target
+        snapshot are dropped from the live mapping (they did not exist
+        then); their runs become vacuum-collectable once unreferenced.
+
+        Note the interplay with GDPR deletes: rolling back across a
+        ``delete_of`` snapshot RESURRECTS the deleted conversations —
+        by design (the delete's erasure point is vacuum, not the
+        snapshot); re-apply the delete after rolling back.
+
+        Returns {"snapshot": new_id, "buckets": n_live_buckets}."""
+        by_run = self._buckets_as_of(to_snapshot)  # validates + expiry check
+        with _commit_lock(self.out_dir):
+            manifest = load_manifest(self.out_dir)
+            # rebuild the buckets map as of the target; per-bucket
+            # rows/sinks are not stored in history entries, so recover
+            # them from the target runs' parquet footers (immutable
+            # since their commit — the counts ARE the original lineage)
+            counts: dict[str, dict] = {}
+            for run_id, bs in by_run.items():
+                walker = SinkSet(out_dir=self.out_dir, run_id=run_id)
+                lineage = walker._lineage_from_footers()
+                for b in bs:
+                    got = lineage.get(int(b), {"rows": 0, "sinks": {}})
+                    counts[str(b)] = {"run_id": run_id, "rows": got["rows"],
+                                      "sinks": got["sinks"]}
+            manifest["buckets"] = counts
+            manifest["history"].append({
+                "run_id": self.run_id,
+                "committed_buckets": sorted(int(b) for b in counts),
+                "rollback_to": int(to_snapshot),
+                "wall_time": time.time(),
+            })
+            _atomic_write_json(_manifest_path(self.out_dir), manifest)
+        return {"snapshot": len(self.snapshots()) - 1,
+                "buckets": len(counts)}
 
     def compute_sink_cardinality(self, spark: SparkSession,
                                  record: bool = True) -> dict[str, int]:

@@ -351,3 +351,96 @@ def test_delete_crash_before_commit_leaves_table_intact(spark, table,
     # and the op, retried cleanly, succeeds
     res = SinkSet(out_dir=table).delete_conversations(spark, [conv])
     assert res["rows_deleted"] > 0
+
+
+def _key(r):
+    return (r["bucket"], r["sink_id"], r["conv_id"], r["turn_idx"],
+            r["rendered"])
+
+
+def test_rollback_undoes_delete(spark, table):
+    """rollback_to_snapshot semantics: a bad delete is undone by
+    repointing the live table at the pre-delete snapshot. History stays
+    append-only (the rollback is itself a snapshot; the delete snapshot
+    remains time-travel-readable until vacuumed), and the delete run
+    becomes vacuum-collectable once unreferenced."""
+    ss = SinkSet(out_dir=table)
+    conv = _full(spark, table).select("conv_id").first()["conv_id"]
+    before = sorted(_key(r) for r in _full(spark, table).collect())
+    pre = len(ss.snapshots()) - 1
+
+    SinkSet(out_dir=table).delete_conversations(spark, [conv])
+    del_snap = len(SinkSet(out_dir=table).snapshots()) - 1
+    assert _full(spark, table).filter(F.col("conv_id") == conv).count() == 0
+
+    res = SinkSet(out_dir=table).rollback(pre)
+    snaps = SinkSet(out_dir=table).snapshots()
+    assert res["snapshot"] == len(snaps) - 1 == del_snap + 1
+    assert snaps[-1]["rollback_to"] == pre
+
+    # resurrection: the live table is bit-identical to pre-delete
+    assert sorted(_key(r) for r in _full(spark, table).collect()) == before
+    # manifest lineage restored exactly (rows + sinks from footers)
+    total = sum(m["rows"] for m in load_manifest(table)["buckets"].values())
+    assert total == len(before)
+    # history preserved: time travel to the delete snapshot still
+    # shows the deleted state
+    at_del = SinkSet(out_dir=table).read_routed(spark, as_of=del_snap)
+    assert at_del.filter(F.col("conv_id") == conv).count() == 0
+    # an incremental append scan may not cross the rollback
+    with pytest.raises(ValueError, match="row-level modification"):
+        SinkSet(out_dir=table).changes(spark, since=pre)
+    # the delete's COW run is now unreferenced -> collectable; after
+    # that, the delete snapshot is expired (unreadable), live is fine
+    assert SinkSet(out_dir=table).vacuum(min_age_minutes=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        SinkSet(out_dir=table).read_routed(spark, as_of=del_snap)
+    assert _full(spark, table).count() == len(before)
+
+
+def test_rollback_round_trip_and_bucket_drop(spark, table):
+    """The fixture commits in 2 groups -> 2 snapshots. Rolling back to
+    snapshot 0 drops the group-2 buckets from the live mapping (they
+    did not exist then); rolling 'back' to snapshot 1 restores the full
+    table (a rollback target may be any snapshot, including a later
+    one); a rollback may even target another rollback snapshot."""
+    def _full_asof(k):
+        ss_ = SinkSet(out_dir=table)
+        return ss_._read_committed(spark, ss_._buckets_as_of(k))
+
+    ss = SinkSet(out_dir=table)
+    snaps0 = ss.snapshots()
+    assert len(snaps0) == 2, "fixture expected to commit in 2 groups"
+    n_full = _full(spark, table).count()
+    n_g1 = _full_asof(0).count()
+    assert 0 < n_g1 < n_full
+    full_rows = sorted(_key(r) for r in _full(spark, table).collect())
+
+    assert SinkSet(out_dir=table).rollback(0)["snapshot"] == 2
+    assert _full(spark, table).count() == n_g1
+    live_buckets = set(load_manifest(table)["buckets"])
+    assert live_buckets == {str(b) for b in snaps0[0]["committed_buckets"]}
+
+    # roll forward: target the pre-rollback full table
+    assert SinkSet(out_dir=table).rollback(1)["snapshot"] == 3
+    assert sorted(_key(r) for r in _full(spark, table).collect()) == full_rows
+
+    # rollback whose target is itself a rollback snapshot (id 2 -> id 0)
+    assert SinkSet(out_dir=table).rollback(2)["snapshot"] == 4
+    assert _full(spark, table).count() == n_g1
+
+    # group-2's run is unreferenced now: vacuum collects it, snapshots
+    # that need it (1 and 3) expire, live stays readable
+    assert SinkSet(out_dir=table).vacuum(min_age_minutes=0)
+    for dead in (1, 3):
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            SinkSet(out_dir=table).read_routed(spark, as_of=dead)
+    assert _full(spark, table).count() == n_g1
+    assert _full_asof(4).count() == n_g1
+
+
+def test_rollback_rejects_bad_target(spark, table):
+    with pytest.raises(IndexError, match="out of range"):
+        SinkSet(out_dir=table).rollback(99)
+    with pytest.raises(IndexError, match="out of range"):
+        SinkSet(out_dir=table).rollback(-1)

@@ -126,3 +126,19 @@ def test_table_tool_cli(tmp_path, fixture_sf_small, spark):
     assert ss._read_committed(spark).filter(
         f"conv_id = '{conv}'").count() == 0
     assert "delete_of" in ss.snapshots()[-1]
+
+    # rollback: pure manifest+footer op, plain `python` again — undo
+    # the delete by repointing the table at the pre-delete snapshot
+    pre = len(ss.snapshots()) - 2
+    proc = subprocess.run(
+        [sys.executable, tool, "--out", out_dir,
+         "rollback", "--to", str(pre)],
+        capture_output=True, text=True, timeout=60, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["buckets"] > 0
+    ss2 = SinkSet(out_dir=out_dir)
+    assert "rollback_to" in ss2.snapshots()[-1]
+    assert ss2._read_committed(spark).filter(
+        f"conv_id = '{conv}'").count() > 0
