@@ -52,6 +52,12 @@ def main() -> None:
                    help="record per-sink HLL conv cardinality inline with the "
                         "write (interpreted per-row cost, BENCH/LINEAGE.md); "
                         "default: exact cardinality on demand at report time")
+    p.add_argument("--audit-min-rows", type=int, default=None,
+                   help="WAP gate: refuse to publish a group staging fewer "
+                        "rows than this (audits.rows_at_least)")
+    p.add_argument("--audit-max-unmatched-frac", type=float, default=None,
+                   help="WAP gate: refuse to publish a group whose unmatched "
+                        "fraction reaches this (rule/format drift alarm)")
     p.add_argument("--sink-cardinality", action="store_true",
                    help="after the run, compute exact per-sink conv "
                         "cardinality over the committed table and record it "
@@ -65,6 +71,22 @@ def main() -> None:
 
     from logparse_spark import pipeline
     from logparse_spark.rules import load_rules
+
+    gate = None
+    exps = []
+    if args.audit_min_rows is not None:
+        from logparse_spark import audits
+
+        exps.append(audits.rows_at_least(args.audit_min_rows))
+    if args.audit_max_unmatched_frac is not None:
+        from logparse_spark import audits
+
+        exps.append(audits.unmatched_fraction_below(
+            args.audit_max_unmatched_frac))
+    if exps:
+        from logparse_spark import audits
+
+        gate = audits.expect(*exps)
 
     result = pipeline.run(
         spark,
@@ -82,6 +104,7 @@ def main() -> None:
         sink_format=args.format,
         sink_table=args.table,
         observe_cardinality=args.observe_cardinality,
+        audit=gate,
     )
     cardinality = None
     if args.sink_cardinality:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -85,7 +86,13 @@ def run(
     sink_table: str | None = None,  # iceberg table id when sink_format=iceberg
     fail_after_groups: int | None = None,  # test hook: simulate a crash
     observe_cardinality: bool = False,  # opt-in write-time HLL (see sinks.py)
+    audit: "Callable[[DataFrame], None] | None" = None,  # WAP gate (audits.py)
 ) -> RunResult:
+    if audit is not None and sink_format != "parquet":
+        raise ValueError(
+            "audit gating requires the parquet sink (staged files are "
+            "read back pre-commit); on real Iceberg use a WAP branch"
+        )
     compiled = load_rules(rules_path)
     stages.tune_scan_splits(spark, source_path)
     df = stages.read_transcripts(spark, source_path)
@@ -154,6 +161,27 @@ def run(
             cdf, sinks=compiled.sink_ids,
             observe_cardinality=observe_cardinality,
         )
+        if audit is not None:
+            # write-audit-publish: evaluate the gate on the STAGED
+            # (written, uncommitted — invisible to readers) files. A
+            # raise aborts the publish: the manifest is untouched,
+            # earlier committed groups stand (a fixed rerun resumes
+            # past them), and this group's run dir is an orphan for
+            # vacuum — the manifest analogue of dropping a WAP branch.
+            from .audits import AuditFailed
+
+            run_dir = sink._run_dir()
+            if not any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(run_dir) for f in fs
+            ):
+                raise AuditFailed(
+                    f"group {gi} staged ZERO files ({run_dir}) — an "
+                    "audited publish of nothing is refused; pass "
+                    "audit=None to commit empty groups deliberately"
+                )
+            staged = spark.read.option("basePath", run_dir).parquet(run_dir)
+            audit(staged)
         # buckets with zero rows still need committing
         for b in group:
             lineage.setdefault(b, {"rows": 0, "sinks": {}})

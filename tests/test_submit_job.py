@@ -70,6 +70,8 @@ def test_spark_submit_pyfiles(tmp_path, fixture_sf_small):
         "--rules", "/root/repo/rules/default.rules",
         "--buckets", "16", "--groups", "2",
         "--report", report,
+        # WAP gate wired through the ship path (passing bounds)
+        "--audit-min-rows", "1", "--audit-max-unmatched-frac", "0.9",
     ]
     proc = subprocess.run(
         cmd, capture_output=True, text=True, timeout=300, cwd=str(tmp_path)
@@ -78,6 +80,22 @@ def test_spark_submit_pyfiles(tmp_path, fixture_sf_small):
     result = json.loads(proc.stdout.strip().splitlines()[-1])
     assert result["processed_buckets"] == 16
     assert result["rows"] == 5000  # every turn accounted for (sf0.001)
+
+    # the same command against a fresh table with an unsatisfiable
+    # audit bound must FAIL the submit and publish nothing
+    cmd2 = [c for c in cmd]
+    cmd2[cmd2.index("--out") + 1] = str(tmp_path / "routed_gated")
+    cmd2[cmd2.index("--audit-min-rows") + 1] = "999999999"
+    cmd2[cmd2.index("--report") + 1] = str(tmp_path / "report2.txt")
+    proc = subprocess.run(
+        cmd2, capture_output=True, text=True, timeout=300, cwd=str(tmp_path)
+    )
+    assert proc.returncode != 0
+    # spark-submit surfaces the driver's Python traceback on stdout
+    assert "rows_at_least" in proc.stdout + proc.stderr
+    from logparse_spark.sinks import load_manifest
+
+    assert load_manifest(str(tmp_path / "routed_gated"))["buckets"] == {}
     assert os.path.exists(os.path.join(out_dir, "_manifest", "committed.json"))
     with open(report, encoding="utf-8") as f:
         txt = f.read()
