@@ -123,6 +123,25 @@ class _commit_lock:
             pass
 
 
+def _stat_str(v) -> str | None:
+    """Parquet string-column min/max as a Python str, or None when the
+    value cannot be represented faithfully. pyarrow surfaces UTF8
+    logical-type stats as str but plain BYTE_ARRAY stats as bytes;
+    UTF-8 byte order equals code-point order, so a clean decode
+    preserves the comparison pruning relies on — anything else makes
+    the file unprunable rather than risk a wrong bound."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return v
+    if isinstance(v, (bytes, bytearray)):
+        try:
+            return bytes(v).decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp.{uuid.uuid4().hex}"
@@ -343,6 +362,58 @@ class SinkSet:
             triples.append((int(parts["bucket"]), parts["sink_id"], n))
         return _aggregate_partition_rows(triples)
 
+    def _write_file_stats(self) -> None:
+        """Per-FILE conv_id bounds sidecar (``_filestats.json`` in the
+        run dir — underscore-prefixed, so Spark's listing ignores it).
+        The Iceberg-manifest column-bounds analogue: every writer in
+        this repo emits (conv_id, turn_idx)-sorted files, so per-file
+        [min, max] conv_id ranges are narrow (and disjoint across a
+        compacted partition's rolled files), letting a point lookup
+        plan over the 1–2 files that can contain its key instead of
+        scheduling every file in the bucket dir. Derived from parquet
+        footer statistics only — no data read. Parquet may truncate
+        long string stats, but always outward (min down, max up), so a
+        recorded range is a superset of the true one and pruning on it
+        can never drop a matching file."""
+        import pyarrow.parquet as pq
+
+        run_dir = self._run_dir()
+        stats: dict[str, dict] = {}
+        for root, _, files in os.walk(run_dir):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                path = os.path.join(root, f)
+                md = pq.ParquetFile(path).metadata
+                try:
+                    ci = md.schema.names.index("conv_id")
+                except ValueError:
+                    continue
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                lo, hi = _stat_str(lo), _stat_str(hi)
+                if lo is None or hi is None:
+                    continue  # unknowable bounds: file stays unprunable
+                rel = os.path.relpath(path, run_dir)
+                stats[rel] = {"conv_min": lo, "conv_max": hi,
+                              "rows": md.num_rows}
+        if stats:
+            _atomic_write_json(
+                os.path.join(run_dir, "_filestats.json"), stats)
+
+    def _file_stats(self, run_id: str) -> dict[str, dict] | None:
+        p = os.path.join(self.out_dir, "runs", run_id, "_filestats.json")
+        if not os.path.isfile(p):
+            return None  # pre-stats run: dir-granularity reads still work
+        with open(p, encoding="utf-8") as f:
+            return json.load(f)
+
     def commit(self, lineage: dict[int, dict], extra: dict | None = None,
                n_buckets: int | None = None,
                expected_runs: dict[int, str] | None = None) -> None:
@@ -367,6 +438,11 @@ class SinkSet:
         data), the exact optimistic validation Iceberg applies to
         concurrent snapshots. Append commits of fresh buckets need no
         expectation: the lock alone makes them serializable."""
+        if self.fmt != "iceberg" and os.path.isdir(self._run_dir()):
+            # stats sidecar is part of the commit payload (Iceberg writes
+            # column bounds into the manifest the same way) — emitted
+            # before the lock: it only touches this run's own dir
+            self._write_file_stats()
         with _commit_lock(self.out_dir):
             manifest = load_manifest(self.out_dir)
             if expected_runs is not None:
@@ -481,18 +557,36 @@ class SinkSet:
         return by_run
 
     def _read_committed(self, spark: SparkSession,
-                        by_run: dict[str, list[int]] | None = None) -> DataFrame:
+                        by_run: dict[str, list[int]] | None = None,
+                        file_sel: dict[str, list[str]] | None = None,
+                        ) -> DataFrame:
         """Union the committed buckets across runs (uncommitted runs
         are invisible, like reading an Iceberg snapshot). Cross-run
         schemas can legitimately differ — write_classified's column
         list varies with which enrichment dictionaries were supplied —
         so the union is allowMissingColumns (absent columns read as
         null), the same answer a table format's schema evolution
-        gives."""
+        gives.
+
+        ``file_sel`` narrows a run below directory granularity: for a
+        run_id present in it, ONLY those run-relative parquet paths are
+        planned (the point-lookup path derives them from the
+        ``_filestats.json`` conv_id bounds — Iceberg's manifest
+        column-bounds pruning). An empty list means no file in the run
+        can match: the run is skipped outright."""
         by_run = by_run if by_run is not None else self._committed_by_run()
+        file_sel = file_sel or {}
         frames = []
         for run_id, bs in sorted(by_run.items()):
             base = os.path.join(self.out_dir, "runs", run_id)
+            if run_id in file_sel:
+                rels = file_sel[run_id]
+                if not rels:
+                    continue
+                df = spark.read.option("basePath", base).parquet(
+                    *[os.path.join(base, r) for r in sorted(rels)])
+                frames.append(df.filter(F.col("bucket").isin(bs)))
+                continue
             # list ONLY the selected buckets' partition dirs, not the
             # whole run: a point lookup or k-conv delete then plans over
             # k directories instead of listing every file the run ever
@@ -640,6 +734,7 @@ class SinkSet:
             else self._committed_by_run()
         nb = manifest.get("n_buckets")
         cond = F.col("conv_id") == conv_id
+        file_sel: dict[str, list[str]] = {}
         if nb:
             b = int(
                 spark.range(1)
@@ -652,7 +747,41 @@ class SinkSet:
             # bucket filter partition-prunes it to zero files at planning
             by_run = hit_runs or dict(list(by_run.items())[:1])
             cond = cond & (F.col("bucket") == b)
-        return self._read_committed(spark, by_run).filter(cond)
+            # second pruning level, below the bucket dir: the commit-time
+            # _filestats.json sidecar records each file's [min, max]
+            # conv_id bounds (files are (conv_id, turn_idx)-sorted, so
+            # rolled/compacted files cover narrow, disjoint ranges) —
+            # plan ONLY the files whose range can contain the key. Files
+            # absent from the sidecar (unknowable bounds) stay planned;
+            # runs with no sidecar (pre-stats commits) keep the
+            # dir-granularity read.
+            for run_id in hit_runs:
+                stats = self._file_stats(run_id)
+                if stats is None:
+                    continue
+                base = os.path.join(self.out_dir, "runs", run_id)
+                rels = []
+                for root, _, files in os.walk(
+                        os.path.join(base, f"bucket={b}")):
+                    rels.extend(
+                        os.path.relpath(os.path.join(root, f), base)
+                        for f in files if f.endswith(".parquet"))
+                keep = [
+                    r for r in rels
+                    if r not in stats
+                    or stats[r]["conv_min"] <= conv_id <= stats[r]["conv_max"]
+                ]
+                if len(keep) < len(rels):
+                    file_sel[run_id] = keep
+            if by_run and all(
+                    not file_sel.get(r, [True]) for r in by_run):
+                # every candidate file's bounds exclude the key: fall back
+                # to one dir-granularity run for schema; the bucket +
+                # conv_id predicates prune it at planning/row-group level
+                file_sel = {}
+                by_run = dict(list(by_run.items())[:1])
+        return self._read_committed(spark, by_run, file_sel=file_sel) \
+            .filter(cond)
 
     def rollback(self, to_snapshot: int) -> dict:
         """Repoint the LIVE table to an earlier snapshot's bucket -> run

@@ -285,6 +285,63 @@ def test_read_conversation_point_lookup(spark, committed_run):
     assert miss.count() == 0
 
 
+def test_point_lookup_prunes_below_partition_dir(spark, compact_out):
+    """Commit-time ``_filestats.json`` (per-file conv_id bounds — the
+    Iceberg manifest column-bounds analogue) must prune a point lookup
+    BELOW bucket-dir granularity: after compaction rolls each sorted
+    (bucket, sink) partition into several range-disjoint files, the
+    lookup plans only the files whose [min, max] can contain the key,
+    not every file in the bucket dir. At 100 TB this is the difference
+    between opening ~2 files and ~200 per lookup."""
+    from conftest import scan_num_files
+
+    ss = SinkSet(out_dir=compact_out)
+    res = ss.compact(spark, max_records_per_file=50)
+    assert res["rewritten_buckets"], res
+    manifest = load_manifest(compact_out)
+    b0 = res["rewritten_buckets"][0]
+    run_id = manifest["buckets"][str(b0)]["run_id"]
+    stats = ss._file_stats(run_id)
+    assert stats, "compaction commit did not emit _filestats.json"
+
+    full = ss._read_committed(spark)
+    conv = full.select("conv_id").first()["conv_id"]
+    b = int(
+        spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(conv)),
+                   F.lit(int(manifest["n_buckets"]))).cast("int")
+        ).first()[0]
+    )
+    hit_run = manifest["buckets"][str(b)]["run_id"]
+    bucket_files = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(
+            os.path.join(compact_out, "runs", hit_run, f"bucket={b}"))
+    )
+    assert bucket_files > 3, (
+        "rolling produced too few files per bucket — the pruning test "
+        "lost its subject; shrink max_records_per_file"
+    )
+
+    got = ss.read_conversation(spark, conv)
+    n_read = scan_num_files(got, os.path.basename(compact_out))
+    assert 0 < n_read < bucket_files, (n_read, bucket_files)
+
+    expected = sorted(
+        map(tuple, full.filter(F.col("conv_id") == conv).collect()))
+    assert expected
+    assert sorted(map(tuple, got.collect())) == expected
+
+    # bounds that exclude the key everywhere: dir-granularity fallback
+    # still answers (0 rows), never raises
+    assert ss.read_conversation(spark, "no-such-conversation").count() == 0
+
+    # a pre-stats run (sidecar missing) keeps the dir-granularity read
+    os.remove(os.path.join(compact_out, "runs", hit_run, "_filestats.json"))
+    again = ss.read_conversation(spark, conv)
+    assert sorted(map(tuple, again.collect())) == expected
+
+
 def test_snapshot_time_travel(spark, compact_out):
     """Manifest time travel (the VERSION AS OF analogue): snapshots()
     exposes the commit log, read_routed(as_of=k) plans over the
