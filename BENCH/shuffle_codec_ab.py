@@ -53,6 +53,19 @@ def _du(path: str) -> int:
     return int(out.stdout.split()[0]) if out.returncode == 0 else -1
 
 
+def _file_sizes(path: str) -> dict[str, int]:
+    """{relpath: bytes} for every file under path (tolerates races)."""
+    out: dict[str, int] = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            try:
+                out[os.path.relpath(p, path)] = os.path.getsize(p)
+            except OSError:
+                pass  # ContextCleaner deleted it mid-walk
+    return out
+
+
 def worker(cores: int, codec: str) -> None:
     """One pinned measurement: e2e once at SF with the given shuffle codec."""
     from logparse_spark.session import get_spark
@@ -74,13 +87,21 @@ def worker(cores: int, codec: str) -> None:
             bench.run_pipeline_e2e(spark, "1", out_dir)
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
-        shutil.rmtree(local_dir, ignore_errors=True)  # drop warmup shuffle
+        # The blockmgr-* dir under spark.local.dir is LIVE session state —
+        # deleting it breaks every later shuffle (FileNotFoundException in
+        # DiskBlockObjectWriter). Instead snapshot the file SET after the
+        # warmup and sum only files the measured run CREATED — warmup
+        # shuffles GC'd mid-run by the ContextCleaner then can't bias the
+        # number negative the way a du delta does.
+        before = _file_sizes(local_dir)
         out_dir = bench._mktemp_out(prefix="codec_ab_")
         try:
             sec, n = bench.run_pipeline_e2e(spark, SF, out_dir)
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
-        shuffle_bytes = _du(local_dir)  # shuffle files live until stop()
+        after = _file_sizes(local_dir)  # shuffle files live until stop()
+        shuffle_bytes = sum(sz for rel, sz in after.items()
+                            if rel not in before)
     finally:
         spark.stop()
         shutil.rmtree(local_dir, ignore_errors=True)
