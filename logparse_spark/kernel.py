@@ -78,6 +78,15 @@ def required_literal(pattern: str, min_len: int = 4) -> str | None:
 
 _RE2_OK_CACHE: dict[str, bool] = {}
 
+# At/above this unclaimed fraction the per-rule match scans the FULL
+# column and masks, instead of gathering candidates with pc.take first.
+# Measured on the bench rule set (600k rows): a full-column RE2 scan
+# costs ~0.036s while take+subset-scan costs ~0.06s at 90% selectivity —
+# per-row, gather+scan ≈ 1.67x a plain scan, so the crossover sits near
+# idx/n = 0.6. Log workloads keep most rows unclaimed until the late
+# hot rules, so this removes the large string-array copies entirely.
+_FULL_SCAN_FRAC = 0.6
+
 
 def _re2_compatible(pattern: str) -> bool:
     """True when Arrow's RE2 engine accepts (and we may use) the
@@ -99,7 +108,96 @@ def _re2_compatible(pattern: str) -> bool:
     return ok
 
 
-def _extract_with_whole(target: pd.Series, rule: CompiledRule) -> pd.DataFrame:
+def named_group_pattern(pattern: str) -> str | None:
+    """Rewrite unnamed capture groups to ``(?P<gN>``, wrap all as g0.
+
+    Arrow's ``extract_regex`` returns one struct field per NAMED group
+    and ignores unnamed ones, so extraction through RE2 needs this
+    rewrite. The scanner tracks backslash escapes and character classes
+    (including the ``[]]``/``[^]]`` literal-bracket forms) so a ``(``
+    inside either never becomes a group. Returns None for patterns that
+    already use named groups (g-name collisions would mis-map indices);
+    those fall back to the pandas extraction path.
+    """
+    if "(?P<" in pattern or "(?'" in pattern:
+        return None
+    out: list[str] = []
+    i, n, g = 0, len(pattern), 0
+    in_class = False
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            out.append(c)
+            i += 1
+            # []] / [^]] : leading ] (after optional ^) is a literal
+            if i < n and pattern[i] == "^":
+                out.append("^")
+                i += 1
+            if i < n and pattern[i] == "]":
+                out.append("]")
+                i += 1
+            continue
+        if c == "(" and not pattern.startswith("(?", i):
+            g += 1
+            out.append(f"(?P<g{g}>")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "(?P<g0>" + "".join(out) + ")"
+
+
+_NAMED_PAT_CACHE: dict[str, str | None] = {}
+
+
+def _re2_extractable(pattern: str) -> str | None:
+    """The named-group variant of ``pattern`` iff Arrow's RE2
+    ``extract_regex`` accepts it, else None (pandas fallback). Keyed by
+    pattern SOURCE (a pure value), so entries can never go stale."""
+    if pattern in _NAMED_PAT_CACHE:
+        return _NAMED_PAT_CACHE[pattern]
+    named = named_group_pattern(pattern) if pc is not None else None
+    if named is not None:
+        try:
+            pc.extract_regex(pa.array(["probe"]), named)
+        except Exception:
+            named = None
+    _NAMED_PAT_CACHE[pattern] = named
+    return named
+
+
+def _extract_groups_arrow(
+    sub_pa: "pa.Array", rule: CompiledRule
+) -> pd.DataFrame | None:
+    """RE2 extraction: (whole, g1..gn) columns for rows of ``sub_pa``,
+    or None when the pattern needs the Python-re fallback.
+
+    Replaces pandas ``str.extract`` (row-at-a-time Python re) on the
+    hot path — measured 1.42s -> ~0.1s per 600k-row batch on the bench
+    rule set. Callers pass only rows already known to match, so no
+    null structs come back."""
+    named = _re2_extractable(rule.spec.pattern)
+    if named is None:
+        return None
+    res = pc.extract_regex(sub_pa, named)
+    return pd.DataFrame(
+        {
+            # struct_field (not .field): works on chunked results too
+            j: pc.struct_field(res, f"g{j}").to_numpy(zero_copy_only=False)
+            for j in range(rule.n_groups + 1)
+        }
+    )
     """Extract (whole_match, g1..gn) for rows of ``target``.
 
     Wraps the pattern in an outer group so ``{0}`` (whole match) renders
@@ -184,16 +282,25 @@ def parse_and_match_pandas(
 
         if _re2_compatible(rule.spec.pattern):
             arr = text_pa if on_text else tool_pa
-            # same gather-skip as the arrow kernel: no copy while the
-            # unclaimed mask still covers every row
-            sub_pa = arr if idx.size == n else pc.take(arr, pa.array(idx))
-            m = pc.fill_null(
-                pc.match_substring_regex(sub_pa, rule.spec.pattern), False
-            )
-            hit_mask = m.to_numpy(zero_copy_only=False).astype(bool)
+            if idx.size >= _FULL_SCAN_FRAC * n:
+                # scan the whole column and mask — no gather copy
+                # (see _FULL_SCAN_FRAC); the literal prefilter above
+                # may have shrunk idx below candidates, so re-AND
+                keep = np.zeros(n, dtype=bool)
+                keep[idx] = True
+                m = pc.fill_null(
+                    pc.match_substring_regex(arr, rule.spec.pattern), False
+                )
+                full = m.to_numpy(zero_copy_only=False).astype(bool)
+                hit = np.flatnonzero(full & keep)
+            else:
+                sub_pa = pc.take(arr, pa.array(idx))
+                m = pc.fill_null(
+                    pc.match_substring_regex(sub_pa, rule.spec.pattern), False
+                )
+                hit = idx[m.to_numpy(zero_copy_only=False).astype(bool)]
         else:  # Python-regex-only feature (backref/lookaround) fallback
-            hit_mask = sub.str.contains(rule.regex_search, na=False).to_numpy()
-        hit = idx[hit_mask]
+            hit = idx[sub.str.contains(rule.regex_search, na=False).to_numpy()]
         if hit.size == 0:
             continue
         rule_id[hit] = rule.rule_id
@@ -202,8 +309,13 @@ def parse_and_match_pandas(
         needs_groups = rule.n_groups > 0 or rule.template is not None
         if not needs_groups:
             continue
-        matched = target_all.iloc[hit]
-        groups = _extract_with_whole(matched, rule)
+        groups = None
+        if pc is not None:
+            arr = text_pa if on_text else tool_pa
+            groups = _extract_groups_arrow(pc.take(arr, pa.array(hit)), rule)
+        if groups is None:  # Python-re-only pattern (or no pyarrow)
+            matched = target_all.iloc[hit]
+            groups = _extract_with_whole(matched, rule)
         if rule.n_groups > 0:
             caps = groups.iloc[:, 1:].to_numpy(dtype=object)
             caps = [
@@ -322,25 +434,35 @@ def parse_and_match_arrow(
         idx = np.flatnonzero(candidates)
         if _re2_compatible(rule.spec.pattern):
             arr = text_pa if on_text else tool_pa
-            # skip the gather while nothing is claimed yet (always true
-            # for rule 1): take() copies the whole string array
-            sub = arr if idx.size == n else pc.take(arr, pa.array(idx))
-            m = pc.fill_null(
-                pc.match_substring_regex(sub, rule.spec.pattern), False
-            )
-            hit_mask = m.to_numpy(zero_copy_only=False).astype(bool)
+            if idx.size >= _FULL_SCAN_FRAC * n:
+                # scan the whole column and mask: cheaper than gathering
+                # a large candidate subset first (see _FULL_SCAN_FRAC)
+                m = pc.fill_null(
+                    pc.match_substring_regex(arr, rule.spec.pattern), False
+                )
+                full = m.to_numpy(zero_copy_only=False).astype(bool)
+                hit = np.flatnonzero(full & candidates)
+            else:
+                sub = pc.take(arr, pa.array(idx))
+                m = pc.fill_null(
+                    pc.match_substring_regex(sub, rule.spec.pattern), False
+                )
+                hit = idx[m.to_numpy(zero_copy_only=False).astype(bool)]
         else:
             sub_pd = _pd(on_text).iloc[idx]
-            hit_mask = sub_pd.str.contains(rule.regex_search, na=False).to_numpy()
-        hit = idx[hit_mask]
+            hit = idx[sub_pd.str.contains(rule.regex_search, na=False).to_numpy()]
         if hit.size == 0:
             continue
         rule_id[hit] = rule.rule_id
         unclaimed[hit] = False
 
         if rule.template is not None:
-            matched = _pd(on_text).iloc[hit]
-            groups = _extract_with_whole(matched, rule)
+            arr = text_pa if on_text else tool_pa
+            sub_hit = pc.take(arr, pa.array(hit))
+            groups = _extract_groups_arrow(sub_hit, rule)
+            if groups is None:  # Python-re-only pattern: pandas fallback
+                matched = _pd(on_text).iloc[hit]
+                groups = _extract_with_whole(matched, rule)
             rendered[hit] = _render(rule.template, groups).to_numpy(dtype=object)
 
     un = np.flatnonzero(unclaimed)
