@@ -70,12 +70,23 @@ def main(rounds: int = 3) -> None:
 
     full_sort = ["bucket", "sink_id", "conv_id", "turn_idx"]
     part_sort = ["bucket", "sink_id"]
+    # high-cardinality string columns where the dictionary attempt is
+    # wasted work (the dict page fills, parquet falls back to plain per
+    # chunk — paying the hashing anyway): rendered is ~unique, conv_id
+    # ~n/turns distinct. Sorted input makes conv_id runs dict-friendly
+    # though, so measure, don't assume.
+    hc_nodict = {"parquet.enable.dictionary#rendered": "false"}
     variants = {
-        "sorted+snappy": (full_sort, "snappy"),
-        "sorted+zstd": (full_sort, "zstd"),
-        "sorted+lz4": (full_sort, "lz4"),
-        "sorted+none": (full_sort, "uncompressed"),
-        "partcols+snappy": (part_sort, "snappy"),
+        "sorted+snappy": (full_sort, "snappy", {}),
+        "sorted+zstd": (full_sort, "zstd", {}),
+        "sorted+lz4": (full_sort, "lz4", {}),
+        "sorted+none": (full_sort, "uncompressed", {}),
+        "partcols+snappy": (part_sort, "snappy", {}),
+        "sorted+zstd+nodict": (
+            full_sort, "zstd", {"parquet.enable.dictionary": "false"}),
+        "sorted+zstd+nodict-rendered": (full_sort, "zstd", hc_nodict),
+        "sorted+zstd+pagev2": (
+            full_sort, "zstd", {"parquet.writer.version": "v2"}),
     }
     results: dict[str, dict] = {k: {"secs": [], "bytes": None}
                                 for k in variants}
@@ -84,14 +95,15 @@ def main(rounds: int = 3) -> None:
         if r % 2:
             order.reverse()  # interleave: drift biases both ends equally
         for name in order:
-            sort_cols, codec = variants[name]
+            sort_cols, codec, opts = variants[name]
             out = bench._mktemp_out(prefix=f"ab_{name.replace('+','_')}_")
             spark.conf.set("spark.sql.parquet.compression.codec", codec)
             t0 = time.monotonic()
+            w = cdf.sortWithinPartitions(*sort_cols).write.mode("overwrite")
+            for k, v in opts.items():
+                w = w.option(k, v)
             (
-                cdf.sortWithinPartitions(*sort_cols)
-                .write.mode("overwrite")
-                .partitionBy("bucket", "sink_id")
+                w.partitionBy("bucket", "sink_id")
                 .parquet(out)
             )
             sec = time.monotonic() - t0
