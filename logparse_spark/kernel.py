@@ -198,6 +198,37 @@ def _extract_groups_arrow(
             for j in range(rule.n_groups + 1)
         }
     )
+
+
+def _extract_groups(sub_pa, rows_at, rule: CompiledRule) -> pd.DataFrame:
+    """Extraction dispatcher: RE2 on the hot path, Python re where
+    semantics demand it.
+
+    RE2's extract_regex cannot distinguish a NON-PARTICIPATING group
+    (e.g. an unexercised ``(...)?``) from a participating EMPTY match —
+    both come back ""; Python re (and Perl, the reference semantics)
+    yield null for the former. So: extract through RE2, then re-extract
+    JUST the rows where any capture came back "" (rare: requires an
+    optional or star group, or an empty-capable pattern) through the
+    exact engine. Exact semantics at vectorized cost.
+
+    ``rows_at(positions)`` lazily materializes the matched rows as a
+    pandas Series — only paid on fallback/ambiguous rows."""
+    groups = (
+        _extract_groups_arrow(sub_pa, rule) if sub_pa is not None else None
+    )
+    if groups is None:  # Python-re-only pattern (or no pyarrow)
+        return _extract_with_whole(rows_at(None), rule)
+    if rule.n_groups > 0:
+        amb = (groups.iloc[:, 1:] == "").any(axis=1).to_numpy(dtype=bool)
+        if amb.any():
+            pos = np.flatnonzero(amb)
+            redo = _extract_with_whole(rows_at(pos), rule)
+            groups.iloc[pos, :] = redo.to_numpy(dtype=object)
+    return groups
+
+
+def _extract_with_whole(target: pd.Series, rule: CompiledRule) -> pd.DataFrame:
     """Extract (whole_match, g1..gn) for rows of ``target``.
 
     Wraps the pattern in an outer group so ``{0}`` (whole match) renders
@@ -309,13 +340,13 @@ def parse_and_match_pandas(
         needs_groups = rule.n_groups > 0 or rule.template is not None
         if not needs_groups:
             continue
-        groups = None
-        if pc is not None:
-            arr = text_pa if on_text else tool_pa
-            groups = _extract_groups_arrow(pc.take(arr, pa.array(hit)), rule)
-        if groups is None:  # Python-re-only pattern (or no pyarrow)
-            matched = target_all.iloc[hit]
-            groups = _extract_with_whole(matched, rule)
+        sub_hit = (pc.take(text_pa if on_text else tool_pa, pa.array(hit))
+                   if pc is not None else None)
+        groups = _extract_groups(
+            sub_hit,
+            lambda pos: target_all.iloc[hit if pos is None else hit[pos]],
+            rule,
+        )
         if rule.n_groups > 0:
             caps = groups.iloc[:, 1:].to_numpy(dtype=object)
             caps = [
@@ -458,11 +489,11 @@ def parse_and_match_arrow(
 
         if rule.template is not None:
             arr = text_pa if on_text else tool_pa
-            sub_hit = pc.take(arr, pa.array(hit))
-            groups = _extract_groups_arrow(sub_hit, rule)
-            if groups is None:  # Python-re-only pattern: pandas fallback
-                matched = _pd(on_text).iloc[hit]
-                groups = _extract_with_whole(matched, rule)
+            groups = _extract_groups(
+                pc.take(arr, pa.array(hit)),
+                lambda pos: _pd(on_text).iloc[hit if pos is None else hit[pos]],
+                rule,
+            )
             rendered[hit] = _render(rule.template, groups).to_numpy(dtype=object)
 
     un = np.flatnonzero(unclaimed)

@@ -196,3 +196,73 @@ def test_any_pattern_cache_not_fooled_by_id_reuse():
     # "beta 7" unmatchable and this row fell to unmatched (rule_name None)
     assert got_b["rule_name"].where(got_b["rule_name"].notna(), None).tolist() \
         == ["b", None]
+
+
+def test_named_group_pattern_rewrites():
+    """named_group_pattern: the RE2-extraction rewrite must name exactly
+    the capturing groups, leaving escapes, classes, and (?: alone."""
+    from logparse_spark.kernel import named_group_pattern as ngp
+
+    assert ngp(r"a(\d+)b") == r"(?P<g0>a(?P<g1>\d+)b)"
+    assert ngp(r"(?:x)(y)") == r"(?P<g0>(?:x)(?P<g2>y))".replace("g2", "g1")
+    # escaped paren is a literal, not a group
+    assert ngp(r"\((\w+)\)") == r"(?P<g0>\((?P<g1>\w+)\))"
+    # ( inside a character class is a literal
+    assert ngp(r"[(](\w)") == r"(?P<g0>[(](?P<g1>\w))"
+    # []] / [^]] leading-]-is-literal forms must not close the class
+    assert ngp(r"[]x](a)") == r"(?P<g0>[]x](?P<g1>a))"
+    assert ngp(r"[^]x](a)") == r"(?P<g0>[^]x](?P<g1>a))"
+    # pre-existing named groups: bail (index mapping would be ambiguous)
+    assert ngp(r"(?P<x>\d+)") is None
+
+
+def test_arrow_extraction_matches_python_re():
+    """The extraction dispatcher must reproduce Python-re semantics on
+    the DSL subset — multi-group, whole-match {0}, and crucially a NULL
+    (not "") capture for a non-participating optional group, which raw
+    RE2 extract_regex cannot represent."""
+    import numpy as np
+    import pyarrow as pa
+
+    from logparse_spark.kernel import _extract_groups, _extract_with_whole
+    from logparse_spark.rules import compile_rules
+
+    rules = compile_rules(
+        "rule ssh match /Failed password for (invalid user )?(\\w+) from ([\\d.]+) port (\\d+)/ count {2}\n"
+    )
+    rule = rules.rules[0]
+    rows = [
+        "Failed password for invalid user eve from 9.8.7.6 port 22",
+        "Failed password for root from 1.2.3.4 port 2222",
+    ]
+    ser = pd.Series(rows, dtype=object)
+    got = _extract_groups(
+        pa.array(rows, type=pa.string()),
+        lambda pos: ser if pos is None else ser.iloc[np.asarray(pos)],
+        rule,
+    )
+    want = _extract_with_whole(ser, rule)
+    for j in range(rule.n_groups + 1):
+        g = got.iloc[:, j].where(got.iloc[:, j].notna(), None).tolist()
+        w = want.iloc[:, j].where(want.iloc[:, j].notna(), None).tolist()
+        assert g == w, f"group {j}"
+    assert got.iloc[1, 1] is None or got.iloc[1, 1] != got.iloc[1, 1]
+
+
+def test_full_scan_and_gather_paths_agree(monkeypatch):
+    """Both sides of the _FULL_SCAN_FRAC crossover must classify a
+    fixture sample identically (the threshold is a cost knob, never a
+    semantics knob)."""
+    from logparse_spark import kernel
+
+    t = gen_transcripts(3_000, 150).to_pandas()
+    text = t["text"].astype(object)
+    tool = t["tool"].astype(object)
+
+    monkeypatch.setattr(kernel, "_FULL_SCAN_FRAC", 0.0)  # always full scan
+    full = kernel.parse_and_match_pandas(text, tool, COMPILED)
+    monkeypatch.setattr(kernel, "_FULL_SCAN_FRAC", 2.0)  # always gather
+    gather = kernel.parse_and_match_pandas(text, tool, COMPILED)
+    for col in ["rule_id", "sink_id", "rendered", "count_key"]:
+        assert full[col].where(full[col].notna(), None).tolist() == \
+            gather[col].where(gather[col].notna(), None).tolist(), col
