@@ -428,3 +428,32 @@ def test_routed_file_count_tracks_salt_fanout(spark, fixture_sf_small,
                  buckets=4, salt_buckets=4, hot_threshold=1)
     n_hot = _parquet_file_count(out_hot)
     assert n_hot > 2 * n_cold  # salt fan-out multiplies the file count
+
+
+def test_optional_group_null_capture_through_spark(spark):
+    """End-to-end Spark guard for the RE2-extraction semantics fix
+    (kernel._extract_groups): a non-participating optional group must
+    surface as NULL in the captures array — not "" — through the
+    arrow-batched UDF boundary, matching Python-re/Perl semantics."""
+    from pyspark.sql import functions as F
+
+    from logparse_spark.rules import compile_rules
+    from logparse_spark.udf import with_match_captures
+
+    rules = compile_rules(
+        "rule ssh match /Failed password for (invalid user )?(\\w+)"
+        " from ([\\d.]+)/ count {2}\n"
+    )
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "Failed password for invalid user eve from 9.8.7.6"),
+            ("c1", 1, "Failed password for root from 1.2.3.4"),
+            ("c1", 2, "no match here"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    ).withColumn("tool", F.lit(None).cast("string"))
+    rows = {r["turn_idx"]: r for r in
+            with_match_captures(df, rules).select("turn_idx", "captures").collect()}
+    assert rows[0]["captures"] == ["invalid user ", "eve", "9.8.7.6"]
+    assert rows[1]["captures"] == [None, "root", "1.2.3.4"]  # null, not ""
+    assert rows[2]["captures"] is None
