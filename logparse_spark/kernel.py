@@ -293,10 +293,25 @@ def parse_and_match_pandas(
     else:  # pragma: no cover — pyarrow is baked into this env
         eligible = np.ones(n, dtype=bool)
 
-    for rule in compiled.rules:
+    for chunk, bpats in _block_plans(compiled):
+      remaining = unclaimed & eligible
+      if not remaining.any():
+          break
+      bmask = None
+      if (bpats is not None and pc is not None
+              and remaining.sum() >= _BLOCK_MIN_FRAC * n):
+          # one ~single-scan-cost pass decides which rows ANY of this
+          # block's rules could match; the block's per-rule scans then
+          # run only on those (often none for cold blocks)
+          bmask = _block_mask(bpats, text_pa, tool_pa, n)
+          if not (remaining & bmask).any():
+              continue
+      for rule in chunk:
         candidates = unclaimed & eligible
+        if bmask is not None:
+            candidates &= bmask
         if not candidates.any():
-            break
+            continue
         on_text = rule.spec.field == "text"
         target_all = text if on_text else tool
         idx = np.flatnonzero(candidates)
@@ -408,6 +423,66 @@ def _any_patterns(compiled: CompiledRules) -> dict[str, str | None]:
     return got
 
 
+# Rules per block-prescan group. RE2 compiles an alternation of ~8
+# patterns into one DFA scanned at near single-pattern cost, so one
+# block scan replaces up to 8 per-rule scans for every row the block
+# cannot match. Blocks follow RULE ORDER (they only ever SKIP rows a
+# block's rules cannot match — never reorder dispatch).
+_BLOCK_SIZE = 8
+
+# Below this fraction of still-candidate rows, a block's full-column
+# prescan costs more than the per-rule subset scans it would save.
+_BLOCK_MIN_FRAC = 0.05
+
+
+def _block_plans(compiled: CompiledRules) -> list:
+    """[(rules_chunk, {field: combined_nogroup_pattern | ""})] per
+    _BLOCK_SIZE rules, or (chunk, None) when any rule in the chunk is
+    not RE2-compatible (that block then cannot pre-skip rows). Same
+    memo-on-the-object pattern (and rationale) as _any_patterns."""
+    got = getattr(compiled, "_block_plans_memo", None)
+    if got is None:
+        from .rules import nogroup_pattern
+
+        got = []
+        rules = compiled.rules
+        for s in range(0, len(rules), _BLOCK_SIZE):
+            chunk = rules[s : s + _BLOCK_SIZE]
+            pats: dict[str, str] | None = {}
+            for field_name in ("text", "tool"):
+                fps = [r.spec.pattern for r in chunk
+                       if r.spec.field == field_name]
+                if not fps:
+                    pats[field_name] = ""  # no rules on this field
+                elif all(_re2_compatible(p) for p in fps):
+                    comb = "|".join(f"(?:{nogroup_pattern(p)})" for p in fps)
+                    if _re2_compatible(comb):
+                        pats[field_name] = comb
+                    else:
+                        pats = None
+                        break
+                else:
+                    pats = None
+                    break
+            got.append((chunk, pats))
+        object.__setattr__(compiled, "_block_plans_memo", got)
+    return got
+
+
+def _block_mask(
+    pats: dict[str, str], text_pa, tool_pa, n: int
+) -> np.ndarray:
+    """Rows that could match SOME rule of the block (full-column OR
+    over the block's per-field combined patterns)."""
+    bm = np.zeros(n, dtype=bool)
+    for field_name, arr in (("text", text_pa), ("tool", tool_pa)):
+        p = pats[field_name]
+        if p:
+            m = pc.fill_null(pc.match_substring_regex(arr, p), False)
+            bm |= m.to_numpy(zero_copy_only=False).astype(bool)
+    return bm
+
+
 def parse_and_match_arrow(
     text_pa: "pa.Array", tool_pa: "pa.Array", compiled: CompiledRules
 ) -> tuple["pa.Array", "pa.Array"]:
@@ -457,10 +532,22 @@ def parse_and_match_arrow(
             tool_pd = tool_pa.to_pandas().astype(object)
         return tool_pd
 
-    for rule in compiled.rules:
+    for chunk, bpats in _block_plans(compiled):
+      remaining = unclaimed & eligible
+      if not remaining.any():
+          break
+      bmask = None
+      if bpats is not None and remaining.sum() >= _BLOCK_MIN_FRAC * n:
+          # same block pre-skip as the pandas kernel (see _block_plans)
+          bmask = _block_mask(bpats, text_pa, tool_pa, n)
+          if not (remaining & bmask).any():
+              continue
+      for rule in chunk:
         candidates = unclaimed & eligible
+        if bmask is not None:
+            candidates &= bmask
         if not candidates.any():
-            break
+            continue
         on_text = rule.spec.field == "text"
         idx = np.flatnonzero(candidates)
         if _re2_compatible(rule.spec.pattern):

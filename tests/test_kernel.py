@@ -266,3 +266,39 @@ def test_full_scan_and_gather_paths_agree(monkeypatch):
     for col in ["rule_id", "sink_id", "rendered", "count_key"]:
         assert full[col].where(full[col].notna(), None).tolist() == \
             gather[col].where(gather[col].notna(), None).tolist(), col
+
+
+def test_first_match_wins_across_prescan_blocks(monkeypatch):
+    """Block prescan must only SKIP rows a block cannot match — never
+    reorder dispatch. With _BLOCK_SIZE=2, a row matching rules in two
+    different blocks must still go to the earlier rule, and a row
+    matching only a later block must reach it."""
+    from logparse_spark import kernel
+    from logparse_spark.rules import compile_rules
+
+    monkeypatch.setattr(kernel, "_BLOCK_SIZE", 2)
+    monkeypatch.setattr(kernel, "_BLOCK_MIN_FRAC", 0.0)
+    rules = compile_rules(
+        "rule a match /alpha (\\d+)/ count {1}\n"
+        "rule b match /beta/ ignore\n"
+        "rule c match /gamma (\\w+)/ report \"g={1}\"\n"
+        "rule d match /alpha/ ignore\n"          # shadowed by a for digits
+        "rule e on tool match /^probe$/ count {0}\n"
+    )
+    text = pd.Series(
+        ["alpha 7 gamma x",   # matches a (block 0) AND c,d (block 1) -> a
+         "gamma y",           # only block 1 -> c
+         "alpha seven",       # a's \d+ fails; d (block 1) claims
+         "nothing",           # tool rule e claims via block 2
+         "zilch"], dtype=object)
+    tool = pd.Series([None, None, None, "probe", None], dtype=object)
+    got = kernel.parse_and_match_pandas(text, tool, rules)
+    assert got["rule_name"].where(got["rule_name"].notna(), None).tolist() \
+        == ["a", "c", "d", "e", None]
+
+    import pyarrow as pa
+    rid, _ = kernel.parse_and_match_arrow(
+        pa.array(text, type=pa.string(), from_pandas=True),
+        pa.array(tool, type=pa.string(), from_pandas=True), rules)
+    assert [None if v is None else int(v) for v in rid.to_pylist()] \
+        == [0, 2, 3, 4, None]
