@@ -192,6 +192,8 @@ class SinkSet:
     # per-sink approx conv cardinality from the last write's Observation
     _convs_approx: dict[str, int] | None = field(default=None, repr=False)
     _written: bool = field(default=False, repr=False)
+    # one-pass footer-scan memo (valid: one immutable run per SinkSet)
+    _footer_cache: list | None = field(default=None, repr=False)
 
     def _run_dir(self) -> str:
         return os.path.join(self.out_dir, "runs", self.run_id)
@@ -336,30 +338,94 @@ class SinkSet:
             (int(r["bucket"]), str(r["sink_id"]), int(r["rows"])) for r in entries
         )
 
+    def _scan_footers(self) -> list[dict]:
+        """ONE pass over this run's parquet footers, shared by the
+        lineage aggregation and the file-stats sidecar (they used to be
+        two separate walks reading every footer twice — at a real
+        deployment's file counts the driver-side O(files) constant is
+        the commit-latency floor, so it is paid once and threaded).
+        Metadata-only: no Spark job, no data read; pyarrow releases the
+        GIL around footer IO/parse so a small thread pool overlaps it.
+        Returns one record per data file:
+        ``{rel, bucket, sink_id, rows, conv_min, conv_max}`` where the
+        conv bounds are None when unknowable (missing column, missing
+        row-group stats, or non-UTF8 byte stats — such files stay
+        unprunable rather than risk a wrong bound). The result is
+        cached on the instance: each SinkSet writes exactly one run
+        (enforced in write_classified), so the footers are immutable
+        once scanned."""
+        import pyarrow.parquet as pq
+
+        if self._footer_cache is not None:
+            return self._footer_cache
+        run_dir = self._run_dir()
+        todo: list[tuple[str, dict]] = []
+        for root, _, files in os.walk(run_dir):
+            parts = dict(
+                seg.split("=", 1)
+                for seg in os.path.relpath(root, run_dir).split(os.sep)
+                if "=" in seg
+            )
+            for f in files:
+                if f.endswith(".parquet"):
+                    todo.append((os.path.join(root, f), parts))
+
+        def one(item: tuple[str, dict]) -> dict:
+            path, parts = item
+            md = pq.read_metadata(path)
+            rec = {
+                "rel": os.path.relpath(path, run_dir),
+                "bucket": int(parts["bucket"]) if "bucket" in parts else None,
+                "sink_id": parts.get("sink_id"),
+                "rows": md.num_rows,
+                "conv_min": None,
+                "conv_max": None,
+            }
+            try:
+                ci = md.schema.names.index("conv_id")
+            except ValueError:
+                return rec
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return rec
+                # UTF-8 byte order equals code-point order, so early
+                # str conversion preserves the min/max comparison
+                smin, smax = _stat_str(st.min), _stat_str(st.max)
+                if smin is None or smax is None:
+                    return rec
+                lo = smin if lo is None else min(lo, smin)
+                hi = smax if hi is None else max(hi, smax)
+            rec["conv_min"], rec["conv_max"] = lo, hi
+            return rec
+
+        if len(todo) > 8:
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = min(16, max(4, os.cpu_count() or 4))
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                recs = list(ex.map(one, todo))
+        else:
+            recs = [one(t) for t in todo]
+        self._footer_cache = recs
+        return recs
+
     def _lineage_from_footers(self) -> dict[int, dict]:
         """Exact per-(bucket, sink) row counts from the parquet footers
         of THIS run's files — metadata-only (the Iceberg-manifest
         pattern), no Spark job, no data read. Driver-side O(files);
         on a real deployment the table format's own commit metadata
         replaces this walk outright."""
-        import pyarrow.parquet as pq
-
-        run_dir = self._run_dir()
         triples = []
-        for root, _, files in os.walk(run_dir):
-            pfs = [f for f in files if f.endswith(".parquet")]
-            if not pfs:
-                continue
-            parts = dict(
-                seg.split("=", 1)
-                for seg in os.path.relpath(root, run_dir).split(os.sep)
-                if "=" in seg
-            )
-            n = sum(
-                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-                for f in pfs
-            )
-            triples.append((int(parts["bucket"]), parts["sink_id"], n))
+        for r in self._scan_footers():
+            if r["bucket"] is None or r["sink_id"] is None:
+                raise RuntimeError(
+                    f"parquet file {r['rel']!r} under run dir is not in a "
+                    "bucket=<n>/sink_id=<s> partition directory — foreign "
+                    "file, or the write was not partitioned"
+                )
+            triples.append((r["bucket"], r["sink_id"], r["rows"]))
         return _aggregate_partition_rows(triples)
 
     def _write_file_stats(self) -> None:
@@ -371,38 +437,19 @@ class SinkSet:
         compacted partition's rolled files), letting a point lookup
         plan over the 1–2 files that can contain its key instead of
         scheduling every file in the bucket dir. Derived from parquet
-        footer statistics only — no data read. Parquet may truncate
-        long string stats, but always outward (min down, max up), so a
-        recorded range is a superset of the true one and pruning on it
-        can never drop a matching file."""
-        import pyarrow.parquet as pq
-
+        footer statistics only — no data read, and no second walk: the
+        bounds come from the same :meth:`_scan_footers` pass lineage
+        used. Parquet may truncate long string stats, but always
+        outward (min down, max up), so a recorded range is a superset
+        of the true one and pruning on it can never drop a matching
+        file."""
         run_dir = self._run_dir()
-        stats: dict[str, dict] = {}
-        for root, _, files in os.walk(run_dir):
-            for f in files:
-                if not f.endswith(".parquet"):
-                    continue
-                path = os.path.join(root, f)
-                md = pq.ParquetFile(path).metadata
-                try:
-                    ci = md.schema.names.index("conv_id")
-                except ValueError:
-                    continue
-                lo = hi = None
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(ci).statistics
-                    if st is None or not st.has_min_max:
-                        lo = hi = None
-                        break
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
-                lo, hi = _stat_str(lo), _stat_str(hi)
-                if lo is None or hi is None:
-                    continue  # unknowable bounds: file stays unprunable
-                rel = os.path.relpath(path, run_dir)
-                stats[rel] = {"conv_min": lo, "conv_max": hi,
-                              "rows": md.num_rows}
+        stats: dict[str, dict] = {
+            r["rel"]: {"conv_min": r["conv_min"], "conv_max": r["conv_max"],
+                       "rows": r["rows"]}
+            for r in self._scan_footers()
+            if r["conv_min"] is not None and r["conv_max"] is not None
+        }
         if stats:
             _atomic_write_json(
                 os.path.join(run_dir, "_filestats.json"), stats)
