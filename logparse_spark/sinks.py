@@ -463,7 +463,8 @@ class SinkSet:
 
     def commit(self, lineage: dict[int, dict], extra: dict | None = None,
                n_buckets: int | None = None,
-               expected_runs: dict[int, str] | None = None) -> None:
+               expected_runs: dict[int, str] | None = None,
+               replace_all: bool = False) -> None:
         """Atomically publish buckets (the Iceberg-snapshot stand-in).
 
         ``n_buckets`` pins the TOTAL bucket-space size in the manifest
@@ -473,18 +474,29 @@ class SinkSet:
         conversation across unrelated bucket ids. Mismatches raise
         here instead (the table-format analogue: Iceberg stores the
         bucket transform's N in the partition spec and never lets two
-        specs share ids).
+        specs share ids). The ONE sanctioned way to change the count
+        is ``replace_all=True`` (used by :meth:`rebucket`): the commit
+        then REPLACES the entire bucket map with ``lineage`` and
+        re-pins ``n_buckets`` — partition evolution as a full-rewrite
+        snapshot, after which no pre-rebucket bucket id survives in
+        the live mapping. Such commits must pass ``expected_runs``
+        covering every bucket they are replacing.
 
         Concurrency: the manifest read-modify-write runs under the
         commit lock (``_commit_lock``, the catalog-CAS stand-in) so
         interleaved commits can never lose each other's buckets. A
-        REWRITE commit (compact/delete/merge) additionally passes
-        ``expected_runs`` — the {bucket: run_id} mapping it READ — and
-        the commit raises :class:`CommitConflict` if any of those
-        buckets was repointed since (its rewrite is based on stale
-        data), the exact optimistic validation Iceberg applies to
-        concurrent snapshots. Append commits of fresh buckets need no
-        expectation: the lock alone makes them serializable."""
+        REWRITE commit (compact/delete/merge/rebucket) additionally
+        passes ``expected_runs`` — the {bucket: run_id} mapping it
+        READ — and the commit raises :class:`CommitConflict` if any of
+        those buckets was repointed since (its rewrite is based on
+        stale data), the exact optimistic validation Iceberg applies
+        to concurrent snapshots. Append commits of fresh buckets need
+        no expectation: the lock alone makes them serializable."""
+        if replace_all and expected_runs is None:
+            raise ValueError(
+                "replace_all commits rewrite the whole table and must "
+                "pass expected_runs for every bucket they replace"
+            )
         if self.fmt != "iceberg" and os.path.isdir(self._run_dir()):
             # stats sidecar is part of the commit payload (Iceberg writes
             # column bounds into the manifest the same way) — emitted
@@ -507,14 +519,20 @@ class SinkSet:
                     )
             if n_buckets is not None:
                 prev = manifest.get("n_buckets")
-                if prev is not None and int(prev) != int(n_buckets):
+                if (not replace_all and prev is not None
+                        and int(prev) != int(n_buckets)):
                     raise ValueError(
                         f"commit with n_buckets={n_buckets} but {self.out_dir} "
                         f"was committed under n_buckets={prev}; bucket ids are "
                         "not comparable across counts — resume with the "
-                        "recorded count (buckets='auto' does this)"
+                        "recorded count (buckets='auto' does this), or evolve "
+                        "the bucket space explicitly with rebucket()"
                     )
                 manifest["n_buckets"] = int(n_buckets)
+            if replace_all:
+                # partition evolution: the old bucket ids (mod the old
+                # count) stop existing; the new lineage IS the table
+                manifest["buckets"] = {}
             for b, entry in lineage.items():
                 manifest["buckets"][str(b)] = {
                     "run_id": self.run_id,
@@ -527,6 +545,13 @@ class SinkSet:
                 "wall_time": time.time(),
                 **(extra or {}),
             }
+            if replace_all:
+                entry["replaces_all"] = True
+            if n_buckets is not None:
+                # per-snapshot record of the bucket-space size so
+                # time-travel reads hash under the count in effect AT
+                # that snapshot (see _n_buckets_as_of)
+                entry["n_buckets"] = int(n_buckets)
             if self._convs_approx is not None:
                 # per-sink approx_count_distinct(conv_id) from the write's
                 # Observation — the cardinality metric rides the manifest
@@ -573,6 +598,10 @@ class SinkSet:
                     # drop out); its own run_id never owns data
                     owner = owner_as_of(int(h["rollback_to"]))
                 else:
+                    if h.get("replaces_all"):
+                        # rebucket: bucket ids changed meaning (new mod
+                        # count) — no pre-rebucket owner survives
+                        owner = {}
                     for b in h["committed_buckets"]:
                         owner[int(b)] = h["run_id"]
             return owner
@@ -592,6 +621,25 @@ class SinkSet:
                 "expire_snapshots analogue); read a newer snapshot"
             )
         return by_run
+
+    def _n_buckets_as_of(self, as_of: int) -> int | None:
+        """The bucket-space size in effect AT snapshot ``as_of``.
+        Snapshots since the per-entry ``n_buckets`` record carry it
+        directly (latest entry at or before ``as_of`` wins — a
+        rollback entry re-records the target's count). Older
+        histories fall back: if a LATER rebucket exists, the count
+        before it is that entry's ``rebucket_from``; otherwise the
+        live pin applies unchanged."""
+        snaps = self.snapshots()
+        for h in reversed(snaps[: as_of + 1]):
+            if "n_buckets" in h:
+                return int(h["n_buckets"])
+        for h in snaps[as_of + 1:]:
+            if "rebucket_from" in h:
+                return (int(h["rebucket_from"])
+                        if h["rebucket_from"] is not None else None)
+        nb = load_manifest(self.out_dir).get("n_buckets")
+        return int(nb) if nb is not None else None
 
     def _committed_by_run(self) -> dict[str, list[int]]:
         """Committed buckets grouped by the run that produced them."""
@@ -779,7 +827,12 @@ class SinkSet:
         manifest = load_manifest(self.out_dir)
         by_run = self._buckets_as_of(as_of) if as_of is not None \
             else self._committed_by_run()
-        nb = manifest.get("n_buckets")
+        # hash under the bucket count in effect AT the snapshot being
+        # read: after a rebucket the live count addresses the live
+        # layout only, and a time-travel lookup under it would probe
+        # the wrong (pre-evolution) bucket id
+        nb = self._n_buckets_as_of(as_of) if as_of is not None \
+            else manifest.get("n_buckets")
         cond = F.col("conv_id") == conv_id
         file_sel: dict[str, list[str]] = {}
         if nb:
@@ -865,12 +918,20 @@ class SinkSet:
                     counts[str(b)] = {"run_id": run_id, "rows": got["rows"],
                                       "sinks": got["sinks"]}
             manifest["buckets"] = counts
-            manifest["history"].append({
+            entry = {
                 "run_id": self.run_id,
                 "committed_buckets": sorted(int(b) for b in counts),
                 "rollback_to": int(to_snapshot),
                 "wall_time": time.time(),
-            })
+            }
+            # rolling back across a rebucket restores the bucket-space
+            # size the target snapshot hashed under (and re-records it
+            # so later as-of replays see it on this entry)
+            nb_target = self._n_buckets_as_of(int(to_snapshot))
+            if nb_target is not None:
+                manifest["n_buckets"] = int(nb_target)
+                entry["n_buckets"] = int(nb_target)
+            manifest["history"].append(entry)
             _atomic_write_json(_manifest_path(self.out_dir), manifest)
         return {"snapshot": len(self.snapshots()) - 1,
                 "buckets": len(counts)}
@@ -1318,6 +1379,95 @@ class SinkSet:
             )
         return {"rewritten_buckets": sorted(todo), "files_before": files_before,
                 "files_after": files_after}
+
+    def rebucket(self, spark: SparkSession, new_buckets: int,
+                 max_records_per_file: int | None = None) -> dict:
+        """Evolve the bucket-space size — the partition-evolution
+        operation. A table bucketed at N=256 for 10^11 turns needs
+        N=1024 at 10^12: without evolution every write task sorts 4x
+        the rows (spilling past its execution-memory share) and every
+        point lookup scans 4x the data. Iceberg evolves the partition
+        spec lazily (old files keep the old spec); this parquet
+        manifest keeps ONE live spec, so evolution is an explicit full
+        rewrite — read every committed row, recompute
+        ``bucket = pmod(xxhash64(conv_id), new_buckets)``, write one
+        new run, and publish it as a ``replace_all`` snapshot that
+        atomically swaps the whole bucket map AND re-pins
+        ``n_buckets``.
+
+        Safety: optimistic — the commit validates that no bucket was
+        repointed since this rewrite read the table (CommitConflict
+        otherwise), and conservation — the new lineage's total row
+        count and per-sink totals must equal the manifest's, or
+        nothing is published. Time travel across the boundary stays
+        correct: pre-rebucket snapshots replay with their own bucket
+        map and hash point lookups under the OLD count
+        (``_n_buckets_as_of``); rollback across it restores the old
+        count. The superseded runs become vacuum-collectable.
+
+        Scale shape: one shuffle keyed on the NEW bucket (the same
+        single-exchange shape as the original write), one task per new
+        bucket, writer-sorted files, ``max_records_per_file`` rolls
+        oversized partitions. Returns {"snapshot", "n_buckets_before",
+        "n_buckets_after", "rows"}."""
+        if self.fmt == "iceberg":
+            raise NotImplementedError(
+                "on Iceberg, evolve the partition spec via ALTER TABLE "
+                "... REPLACE PARTITION FIELD (the format rewrites "
+                "lazily); rebucket() is the parquet-manifest path"
+            )
+        manifest = load_manifest(self.out_dir)
+        if not manifest["buckets"]:
+            raise FileNotFoundError(f"no committed buckets under {self.out_dir}")
+        old_nb = manifest.get("n_buckets")
+        if old_nb is not None and int(old_nb) == int(new_buckets):
+            raise ValueError(
+                f"table is already bucketed at n_buckets={new_buckets}")
+        by_run = self._committed_by_run()
+        expected = {b: run for run, bs in by_run.items() for b in bs}
+        rows_before = sum(int(m["rows"]) for m in manifest["buckets"].values())
+        sinks_before: dict[str, int] = {}
+        for m in manifest["buckets"].values():
+            for s, n in m["sinks"].items():
+                sinks_before[s] = sinks_before.get(s, 0) + int(n)
+
+        rewriter = SinkSet(out_dir=self.out_dir, fmt=self.fmt)
+        out = (
+            self._read_committed(spark, by_run)
+            .withColumn("bucket", F.pmod(F.xxhash64("conv_id"),
+                                         F.lit(int(new_buckets))).cast("int"))
+            .repartition(int(new_buckets), "bucket")
+            .sortWithinPartitions("bucket", "sink_id", "conv_id", "turn_idx")
+        )
+        writer = out.write.mode("append")
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy("bucket", "sink_id").parquet(rewriter._run_dir())
+
+        new_lineage = rewriter._lineage_from_footers()
+        rows_after = sum(e["rows"] for e in new_lineage.values())
+        sinks_after: dict[str, int] = {}
+        for e in new_lineage.values():
+            for s, n in e["sinks"].items():
+                sinks_after[s] = sinks_after.get(s, 0) + int(n)
+        if rows_after != rows_before or sinks_after != sinks_before:
+            raise RuntimeError(
+                f"rebucket conservation violated: committed {rows_before} "
+                f"rows {sinks_before!r}, rewrite produced {rows_after} "
+                f"rows {sinks_after!r} — manifest left untouched"
+            )
+        rewriter.commit(
+            new_lineage,
+            extra={"rebucket_from": old_nb,
+                   "rebucket_to": int(new_buckets)},
+            n_buckets=int(new_buckets),
+            expected_runs=expected,
+            replace_all=True,
+        )
+        return {"snapshot": len(self.snapshots()) - 1,
+                "n_buckets_before": old_nb,
+                "n_buckets_after": int(new_buckets),
+                "rows": rows_after}
 
     def vacuum(self, min_age_minutes: float = 60.0) -> list[str]:
         """Delete run directories no manifest bucket references (the
