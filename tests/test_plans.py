@@ -315,3 +315,40 @@ def test_ann_index_probe_prunes_partitions(spark, tmp_path):
     base = corpus.ann_search(spark, sf, "ivf", query_ids=[0], k=5, nprobe=2)
     assert sorted(map(tuple, ivf.collect())) == \
         sorted(map(tuple, base.collect()))
+
+
+def test_registry_wide_no_cartesian_no_row_python(spark):
+    """Sweeping guard over the ENTIRE driver registry: none of the 50
+    surfaced queries may plan a CartesianProduct (quadratic at any
+    scale) or a BatchEvalPython stage (row-at-a-time Python — the
+    north rule mandates vectorized Arrow UDFs only). Individual plan
+    tests above pin specific shapes; this one makes the property hold
+    for every FUTURE registry entry by default.
+
+    BroadcastNestedLoopJoin is allowed ONLY on a pinned allowlist of
+    queries whose broadcast side is a constant-size probe/scalar frame
+    (ANN's K query vectors; TF-IDF's 1-row corpus size) — cost is
+    n_rows x K, linear. Streaming-backed entries are skipped (they
+    drain a stream on build; their batch output plan is a scan).
+    """
+    from logparse_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not present")
+    bnlj_ok = {"ann_bucketed", "ann_cosine", "tfidf_terms"}
+    offenders: dict[str, list[str]] = {}
+    for name, fn in sorted(all_queries().items()):
+        if name.startswith("stream_"):
+            continue
+        plan = _plan(fn(spark, sf))
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            bad.append("BatchEvalPython")
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
