@@ -12,6 +12,10 @@ operator of the routed store actually uses, one spark-submit away:
     ... delete --conv-id X [--conv-id Y]   # DELETE FROM analogue (COW)
     ... upsert --source P --rules R [--dict-dir D]  # MERGE INTO analogue
     ... rollback --to K                    # repoint table to snapshot K
+    ... rebucket --to-buckets N [--max-records-per-file M]
+                                           # partition evolution: rewrite
+                                           # the table under a new bucket
+                                           # count (replace_all snapshot)
 
 Every subcommand prints ONE JSON line so callers can pipe it.
 """
@@ -63,6 +67,11 @@ def main() -> None:
     rb = sub.add_parser("rollback")
     rb.add_argument("--to", type=int, required=True,
                     help="snapshot id to repoint the live table at")
+    re_ = sub.add_parser("rebucket")
+    re_.add_argument("--to-buckets", type=int, required=True,
+                     help="new bucket-space size (full rewrite; the old "
+                          "runs become vacuum-collectable)")
+    re_.add_argument("--max-records-per-file", type=int, default=None)
     args = p.parse_args()
 
     from logparse_spark.sinks import SinkSet
@@ -106,6 +115,10 @@ def main() -> None:
             print(json.dumps(ss.compute_sink_cardinality(spark)))
         elif args.op == "delete":
             print(json.dumps(ss.delete_conversations(spark, args.conv_id)))
+        elif args.op == "rebucket":
+            print(json.dumps(ss.rebucket(
+                spark, args.to_buckets,
+                max_records_per_file=args.max_records_per_file)))
         elif args.op == "upsert":
             from logparse_spark.pipeline import upsert
 

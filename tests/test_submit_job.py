@@ -160,3 +160,25 @@ def test_table_tool_cli(tmp_path, fixture_sf_small, spark):
     assert "rollback_to" in ss2.snapshots()[-1]
     assert ss2._read_committed(spark).filter(
         f"conv_id = '{conv}'").count() > 0
+
+    # rebucket: partition evolution through the same ship path — the
+    # rolled-back table doubles its bucket count; the conversation
+    # stays readable via a lookup hashed under the NEW count
+    from logparse_spark.sinks import load_manifest
+
+    new_n = 2 * int(load_manifest(out_dir)["n_buckets"])
+    proc = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--py-files", zpath, tool,
+         "--out", out_dir, "rebucket", "--to-buckets", str(new_n)],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, (
+        "STDOUT:" + proc.stdout[-2000:] + "\nSTDERR:" + proc.stderr[-2000:])
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["n_buckets_after"] == new_n and res["rows"] > 0
+    ss4 = SinkSet(out_dir=out_dir)
+    assert ss4.snapshots()[-1].get("rebucket_to") == new_n
+    assert ss4.read_conversation(spark, conv).count() > 0
