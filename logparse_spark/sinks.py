@@ -777,8 +777,11 @@ class SinkSet:
                     "IncrementalAppendScan refuses overwrite snapshots "
                     "the same way)"
                 )
-            if "compaction_of" in h:
-                continue  # rewrite: no new records
+            if "compaction_of" in h or h.get("replaces_all"):
+                # rewrite (compaction / rebucket): no new records — its
+                # rows were all appended by snapshots a consumer already
+                # saw; counting them again would double-deliver the table
+                continue
             by_run.setdefault(h["run_id"], []).extend(
                 int(b) for b in h["committed_buckets"]
             )

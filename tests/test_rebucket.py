@@ -206,3 +206,23 @@ def test_vacuum_collects_superseded_runs_after_rebucket(spark, rb_out):
     removed = SinkSet(out_dir=rb_out).vacuum(min_age_minutes=0)
     assert set(removed) == on_disk - live
     assert _table_rows(spark, rb_out) == before
+
+
+def test_changes_skips_rebucket_snapshot(spark, rb_out):
+    """Incremental consumers must NOT see a rebucket as new data: the
+    rewrite adds no records (every row was delivered by snapshots the
+    consumer already saw). changes() across the boundary is an empty
+    delta; changes() up to the boundary still answers."""
+    ss = SinkSet(out_dir=rb_out)
+    pre_snap = len(ss.snapshots()) - 1
+    total = ss._read_committed(spark).count()
+
+    ss.rebucket(spark, NEW_N)
+    ss2 = SinkSet(out_dir=rb_out)
+    post_snap = len(ss2.snapshots()) - 1
+    assert post_snap == pre_snap + 1
+
+    # the delta across JUST the rebucket is empty
+    assert ss2.changes(spark, since=pre_snap, until=post_snap).count() == 0
+    # a full-history delta still equals the table once (no double count)
+    assert ss2.changes(spark, since=-1, until=post_snap).count() == total
