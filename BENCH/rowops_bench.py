@@ -91,6 +91,12 @@ def run_sf(spark, sf: str) -> dict:
         c = SinkSet(out_dir=out).compact(spark, min_files_per_partition=1)
         t_full = time.monotonic() - t0
 
+        # partition evolution: rebucket to 2x — a full rewrite plus the
+        # re-hash shuffle; expected ~= full_rewrite cost (it IS one)
+        t0 = time.monotonic()
+        rb = SinkSet(out_dir=out).rebucket(spark, nb * 2)
+        t_rebucket = time.monotonic() - t0
+
         return {
             "sf": sf, "n_turns": n_turns, "n_buckets": nb,
             "build_sec": round(t_build, 2),
@@ -105,6 +111,9 @@ def run_sf(spark, sf: str) -> dict:
                        "rows_inserted": u["rows_inserted"]},
             "full_rewrite": {"sec": round(t_full, 2),
                              "buckets_rewritten": len(c["rewritten_buckets"])},
+            "rebucket": {"sec": round(t_rebucket, 2),
+                         "to_buckets": rb["n_buckets_after"],
+                         "rows": rb["rows"]},
         }
     finally:
         shutil.rmtree(out, ignore_errors=True)

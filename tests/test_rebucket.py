@@ -226,3 +226,27 @@ def test_changes_skips_rebucket_snapshot(spark, rb_out):
     assert ss2.changes(spark, since=pre_snap, until=post_snap).count() == 0
     # a full-history delta still equals the table once (no double count)
     assert ss2.changes(spark, since=-1, until=post_snap).count() == total
+
+
+def test_delete_after_rebucket_prunes_under_new_count(spark, rb_out):
+    """Row ops keep working against the evolved bucket space: a delete
+    after rebucket hashes its conv ids under the NEW count, rewrites
+    only the hit buckets, and conserves everything else."""
+    ss = SinkSet(out_dir=rb_out)
+    ss.rebucket(spark, NEW_N)
+
+    ss2 = SinkSet(out_dir=rb_out)
+    total = ss2._read_committed(spark).count()
+    conv = ss2._read_committed(spark).select("conv_id").first()["conv_id"]
+    res = ss2.delete_conversations(spark, [conv])
+    assert res["rows_deleted"] > 0
+    assert len(res["rewritten_buckets"]) == 1
+    b = res["rewritten_buckets"][0]
+    # the rewritten bucket is the conv's bucket under the NEW count
+    want_b = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(conv)), F.lit(NEW_N)).cast("int")
+    ).first()[0]
+    assert b == want_b and 0 <= b < NEW_N
+    after = SinkSet(out_dir=rb_out)._read_committed(spark)
+    assert after.filter(F.col("conv_id") == conv).count() == 0
+    assert after.count() == total - res["rows_deleted"]
