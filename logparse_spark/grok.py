@@ -83,6 +83,47 @@ GROK_LIBRARY: dict[str, str] = {
     "QUOTEDSTRING": r"(?:\"[^\"]*\"|'[^']*')",
     "HTTPMETHOD": r"(?:GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT)",
     "WORDCHAIN": r"\w+(?:\.\w+)*",
+    # -- network identifiers ------------------------------------------
+    "COMMONMAC": r"(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
+    "WINDOWSMAC": r"(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",
+    "CISCOMAC": r"(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4}",
+    "MAC": r"(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
+    # full RFC-4291 enumeration (uncompressed + every '::' position);
+    # alternation-only, so RE2-safe like the rest of the library
+    "IPV6": (
+        r"(?:(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,7}:"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,5}(?::[0-9A-Fa-f]{1,4}){1,2}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,4}(?::[0-9A-Fa-f]{1,4}){1,3}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,3}(?::[0-9A-Fa-f]{1,4}){1,4}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,2}(?::[0-9A-Fa-f]{1,4}){1,5}"
+        r"|[0-9A-Fa-f]{1,4}:(?::[0-9A-Fa-f]{1,4}){1,6}"
+        r"|:(?::[0-9A-Fa-f]{1,4}){1,7}"
+        r"|::)"
+    ),
+    "EMAILLOCALPART": r"[A-Za-z][A-Za-z0-9_.+=:-]*",
+    "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
+    # -- URIs ----------------------------------------------------------
+    "URIPROTO": r"[A-Za-z]+(?:\+[A-Za-z+]+)?",
+    "URIHOST": r"%{IPORHOST}(?::%{POSINT})?",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_^-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\[\]<>-]*",
+    "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
+    "URI": (
+        r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?"
+        r"(?:%{URIHOST})?(?:%{URIPATHPARAM})?"
+    ),
+    # -- web access-log composites ------------------------------------
+    # capture-free by design (library entries may not capture — add
+    # %{...:field} names in the RULE that uses them, or wrap pieces)
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "COMMONAPACHELOG": (
+        r'%{IPORHOST} %{USER} %{USER} \[%{HTTPDATE}\] '
+        r'"(?:%{WORD} %{NOTSPACE}(?: HTTP/%{BASE10NUM})?|-)" '
+        r"%{NONNEGINT} (?:%{NONNEGINT}|-)"
+    ),
+    "COMBINEDAPACHELOG": r'%{COMMONAPACHELOG} "[^"]*" "[^"]*"',
 }
 
 _TOKEN_RE = re.compile(r"%\{(\w+)(?::([A-Za-z]\w*))?\}")

@@ -88,3 +88,57 @@ def test_grok_kernel_matches_classic_rules():
     for col in ("rule_id", "action", "sink_id", "count_key", "rendered"):
         assert got_g[col].tolist() == got_c[col].tolist(), col
     assert got_g["rendered"][2] == "err 503 step 7: upstream returned 503"
+
+
+def test_network_and_weblog_patterns():
+    """The round-3 library additions match their canonical shapes and
+    reject near-misses (full-anchor semantics, like the dispatch
+    kernel applies)."""
+    cases = {
+        "MAC": (["00:1a:2b:3c:4d:5e", "00-1A-2B-3C-4D-5E",
+                 "001a.2b3c.4d5e"],
+                ["00:1a:2b:3c:4d", "zz:1a:2b:3c:4d:5e"]),
+        "IPV6": (["2001:db8:0:0:0:0:2:1", "2001:db8::2:1", "::1", "::",
+                  "fe80::1ff:fe23:4567:890a"],
+                 ["2001:db8:::1", "10.0.0.1", "words"]),
+        "EMAILADDRESS": (["ops+alerts@svc-01.example.com",
+                          "a.b_c@example.org"],
+                         ["@example.com", "no-at-sign.example.com"]),
+        "URI": (["https://example.com:8443/a/b?x=1&y=2",
+                 "ftp://user:pw@host.example/a+b",
+                 "https://10.0.0.1/"],
+                ["notaproto//x", "http//missing.colon"]),
+        "HTTPDATE": (["10/Oct/2000:13:55:36 -0700"],
+                     ["10/13/2000:13:55:36 -0700"]),
+        "COMBINEDAPACHELOG": (
+            ['127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+             '"GET /apache_pb.gif HTTP/1.0" 200 2326 '
+             '"http://www.example.com/start.html" "Mozilla/4.08"'],
+            ['127.0.0.1 frank "GET / HTTP/1.0" 200']),
+    }
+    for name, (good, bad) in cases.items():
+        body, groups = expand_grok("%{" + name + "}")
+        assert groups == {}
+        rx = re.compile(body)
+        for s in good:
+            assert rx.fullmatch(s), (name, s)
+        for s in bad:
+            assert not rx.fullmatch(s), (name, s)
+
+
+def test_weblog_composite_captures_in_rule_position():
+    """A rule-level template pulls fields OUT of the capture-free
+    composite: the classic apache clientip/status extraction."""
+    body, groups = expand_grok(
+        r'%{IPORHOST:clientip} %{USER} %{USER:user} \[%{HTTPDATE:ts}\] '
+        r'"(?:%{WORD:verb} %{NOTSPACE:path}(?: HTTP/%{BASE10NUM})?|-)" '
+        r"%{NONNEGINT:status} (?:%{NONNEGINT}|-)")
+    rx = re.compile(body)
+    m = rx.fullmatch(
+        '10.1.2.3 - alice [10/Oct/2000:13:55:36 -0700] '
+        '"POST /api/v1/turns HTTP/1.1" 201 512')
+    assert m
+    got = {f: m.group(i) for f, i in groups.items()}
+    assert got == {"clientip": "10.1.2.3", "user": "alice",
+                   "ts": "10/Oct/2000:13:55:36 -0700", "verb": "POST",
+                   "path": "/api/v1/turns", "status": "201"}
