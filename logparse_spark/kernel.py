@@ -55,6 +55,10 @@ def required_literal(pattern: str, min_len: int = 4) -> str | None:
     (plain substring scan) before the regex engine runs (SURVEY.md §4
     "rule-dispatch strategy").
     """
+    if "(?i" in pattern:
+        # case-insensitive rule: a case-SENSITIVE substring prefilter
+        # would drop case-variant matches — no literal is mandatory
+        return None
     if "|" in pattern.replace("\\|", ""):
         return None
     if ")?" in pattern or ")*" in pattern or "){" in pattern:

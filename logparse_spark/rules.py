@@ -12,7 +12,11 @@ actions and field substitutions)"):
   (text-rules and tool-rules interleaved in file order), matching the
   reference's per-line ordered rule scan.
 - ``match /REGEX/`` uses *search* (unanchored) semantics, like Perl's
-  ``=~ /pat/``; anchor explicitly with ``^``/``$``.
+  ``=~ /pat/``; anchor explicitly with ``^``/``$``. A trailing ``i``
+  (``match /REGEX/i``) makes the rule case-insensitive, like Perl's
+  ``/pat/i`` — compiled as a scoped ``(?i:...)`` so every engine
+  (Python re, RE2, Spark SQL, the DuckDB oracle) agrees, at the cost
+  of that rule's literal prefilter.
 - ``{n}`` in a count key or report template substitutes regex capture
   group *n* (1-based). ``{0}`` substitutes the whole match.
 
@@ -36,7 +40,7 @@ SINK_UNMATCHED = "unmatched"
 _RULE_RE = re.compile(
     r"""^rule\s+(?P<name>\w+)
         (?:\s+on\s+(?P<field>text|tool))?
-        \s+match\s+/(?P<pattern>(?:[^/\\]|\\.)*)/
+        \s+match\s+/(?P<pattern>(?:[^/\\]|\\.)*)/(?P<flags>i?)
         \s+(?P<action>ignore|count|report)
         (?:\s+(?P<rest>.*))?$""",
     re.VERBOSE,
@@ -218,6 +222,14 @@ def parse_rules(text: str) -> list[RuleSpec]:
             except ValueError as e:
                 raise RuleSyntaxError(f"line {lineno}: {e}") from e
             named_groups = tuple(fields.items())
+        if m.group("flags"):
+            # Perl-style /i: wrapped as a SCOPED inline flag, which all
+            # four engines in play (Python re, RE2-on-Arrow, Spark's
+            # Java regex, the DuckDB oracle) accept anywhere in a
+            # pattern — unlike the global (?i) form, which Python
+            # rejects mid-expression when rules are alternated into the
+            # combined prescan. Non-capturing, so group numbers hold.
+            pattern = "(?i:" + pattern + ")"
         specs.append(
             RuleSpec(
                 rule_id=len(specs),

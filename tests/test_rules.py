@@ -106,3 +106,70 @@ def test_load_bench_rules_fixture():
         compiled,
     )
     assert out["rule_name"].tolist() == ["heartbeat", "authfail", "gcpause", "toolbare"]
+
+
+def test_case_insensitive_flag():
+    """Perl-style /i: scoped (?i:) wrapping, search semantics kept,
+    capture numbering unchanged, literal prefilter disabled."""
+    from logparse_spark import kernel
+
+    c = compile_rules(
+        "rule warn match /warning: (\\w+)/i count {1}\n"
+        "rule plain match /ERROR (\\w+)/ count {1}\n"
+    )
+    assert c.rules[0].spec.pattern == "(?i:warning: (\\w+))"
+    # prefilter must not assume the literal's case
+    assert kernel.required_literal(c.rules[0].spec.pattern) is None
+    # the sensitive rule still gets its prefilter literal
+    assert kernel.required_literal(c.rules[1].spec.pattern) == "ERROR "
+
+    import pandas as pd
+
+    out = kernel.parse_and_match_pandas(
+        pd.Series(["WARNING: disk", "Warning: cpu", "warning: mem",
+                   "ERROR io", "error io"]),
+        pd.Series([None] * 5, dtype=object), c)
+    assert list(out["rule_name"][:4]) == ["warn", "warn", "warn", "plain"]
+    assert pd.isna(out["rule_name"][4])
+    assert list(out["rendered"][:4]) == ["disk", "cpu", "mem", "io"]
+
+
+def test_case_insensitive_flag_engine_and_oracle_parity():
+    """The /i rule means the same thing in every engine: the RE2/Arrow
+    kernel (above), Spark's Java-regex SQL CASE engine, and the DuckDB
+    oracle regex dialect."""
+    import duckdb
+
+    got = duckdb.sql(
+        "SELECT regexp_matches('WARNING: disk', '(?i:warning: (\\w+))'),"
+        "       regexp_extract('WARNING: disk', '(?i:warning: (\\w+))', 1)"
+    ).fetchone()
+    assert got == (True, "disk")
+
+
+def test_case_insensitive_flag_sql_engine_parity(spark):
+    """The SQL CASE engine (Java regex) dispatches /i rules identically
+    to the Arrow kernel through the full classify plan."""
+    from pyspark.sql import functions as F
+
+    from logparse_spark import pipeline
+
+    c = compile_rules("rule warn match /warning: (\\w+)/i count {1}\n")
+    df = (
+        spark.createDataFrame(
+            [("c0", 0, "user", "WARNING: disk", None, "2026-01-01"),
+             ("c1", 0, "user", "warning: cpu", None, "2026-01-01"),
+             ("c2", 0, "user", "no match here", None, "2026-01-01")],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    want = [("c0", "warn", "disk"), ("c1", "warn", "cpu"),
+            ("c2", None, "no match here")]
+    for engine in ("udf", "sql"):
+        got = sorted(
+            (r["conv_id"], r["rule_name"], r["rendered"])
+            for r in pipeline.classify(df, c, buckets=2, engine=engine)
+            .select("conv_id", "rule_name", "rendered").collect()
+        )
+        assert got == want, engine
