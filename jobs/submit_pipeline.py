@@ -27,7 +27,10 @@ def main() -> None:
     p = argparse.ArgumentParser(description="logparse_spark pipeline job")
     p.add_argument("--source", required=True, help="transcripts parquet path")
     p.add_argument("--out", required=True, help="sink output root")
-    p.add_argument("--rules", default="rules/default.rules")
+    p.add_argument("--rules", action="append", default=None,
+                   help="rule file; repeatable — files compose in order "
+                        "(one ordered first-match list, the LogParse "
+                        "multi-config CLI shape)")
     p.add_argument("--dict-dir", default=None, help="role/tool dict parquet dir")
     p.add_argument("--buckets", default="auto",
                    help="output bucket count, or 'auto' to size from the "
@@ -88,11 +91,12 @@ def main() -> None:
 
         gate = audits.expect(*exps)
 
+    rules = args.rules or ["rules/default.rules"]
     result = pipeline.run(
         spark,
         source_path=args.source,
         out_dir=args.out,
-        rules_path=args.rules,
+        rules_path=rules,
         dict_dir=args.dict_dir,
         buckets=args.buckets if args.buckets == "auto" else int(args.buckets),
         salt_buckets=args.salt_buckets,
@@ -112,7 +116,7 @@ def main() -> None:
 
         cardinality = SinkSet(out_dir=args.out).compute_sink_cardinality(spark)
     if args.report:
-        report = pipeline.render_report(spark, args.out, load_rules(args.rules))
+        report = pipeline.render_report(spark, args.out, load_rules(rules))
         with open(args.report, "w", encoding="utf-8") as f:
             f.write(report)
     print(json.dumps({

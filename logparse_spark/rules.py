@@ -280,9 +280,17 @@ def compile_rules(text: str) -> CompiledRules:
     return CompiledRules(rules=tuple(compiled), source_text=text)
 
 
-def load_rules(path: str) -> CompiledRules:
-    with open(path, encoding="utf-8") as f:
-        return compile_rules(f.read())
+def load_rules(path: str | list[str] | tuple[str, ...]) -> CompiledRules:
+    """Compile one rule file, or SEVERAL composed in order — the
+    LogParse CLI shape (multiple config files on the command line,
+    scanned as one ordered list, first match wins across all of them).
+    Duplicate rule names across files raise, same as within one file."""
+    paths = [path] if isinstance(path, str) else list(path)
+    texts = []
+    for p in paths:
+        with open(p, encoding="utf-8") as f:
+            texts.append(f.read())
+    return compile_rules("\n".join(texts))
 
 
 # ---------------------------------------------------------------------------

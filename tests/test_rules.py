@@ -173,3 +173,30 @@ def test_case_insensitive_flag_sql_engine_parity(spark):
             .select("conv_id", "rule_name", "rendered").collect()
         )
         assert got == want, engine
+
+
+def test_load_rules_composes_multiple_files(tmp_path):
+    """LogParse CLI shape: several config files scanned as ONE ordered
+    first-match list (file order preserved); duplicate names across
+    files are rejected like duplicates within one."""
+    from logparse_spark.rules import RuleSyntaxError, load_rules
+
+    a = tmp_path / "a.rules"
+    b = tmp_path / "b.rules"
+    a.write_text("rule one match /aaa/ ignore\n")
+    b.write_text("rule two match /aaa bbb/ count {0}\n")
+    c = load_rules([str(a), str(b)])
+    assert [r.spec.name for r in c.rules] == ["one", "two"]
+    # file order IS rule order: 'one' wins on a line both could match
+    import pandas as pd
+
+    from logparse_spark import kernel
+
+    out = kernel.parse_and_match_pandas(
+        pd.Series(["aaa bbb"]), pd.Series([None], dtype=object), c)
+    assert list(out["rule_name"]) == ["one"]
+
+    dup = tmp_path / "dup.rules"
+    dup.write_text("rule one match /zzz/ ignore\n")
+    with pytest.raises(RuleSyntaxError, match="duplicate"):
+        load_rules([str(a), str(dup)])
