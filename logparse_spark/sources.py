@@ -51,6 +51,141 @@ def read_raw_jsonl(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def assemble_multiline(lines: DataFrame, header_re: str = SYSLOG_RE) -> DataFrame:
+    """Fold continuation lines into their governing header line —
+    the multiline-record mode every log shipper grows (stack traces,
+    wrapped detail) and LogParse's single-line loop lacks.
+
+    Rule: a line matching ``header_re`` STARTS a record; every other
+    line (indented frames, stray junk) joins the nearest header at or
+    before it. Lines before the first header of a file are orphans and
+    are dropped (there is no record to join; callers that must audit
+    them can diff line counts via the returned ``n_lines``).
+
+    ``lines`` must be a ``spark.read.text`` frame (column ``value``).
+    Returns one row per assembled record:
+    ``(src_file, blk, seq, raw, n_lines)`` where ``raw`` is the
+    newline-rejoined record (header first) and (blk, seq) is the
+    record's file-order sort key.
+
+    Built split-boundary-safe for TB-scale single files — the part a
+    naive window-over-file solution gets wrong at scale:
+
+    - ``_metadata.file_block_start`` identifies the file split a line
+      was read from; a split is consumed by exactly ONE task, so
+      ``monotonically_increasing_id()`` is read-order-monotonic within
+      it, making ``(src_file, blk, seq)`` a total file order without
+      ever sorting whole files in one task.
+    - the governing-header scan runs per (file, split) — bounded
+      memory, parallel across splits — leaving each split's leading
+      continuation lines (a record that STARTED in the previous split)
+      keyed null;
+    - a per-split summary (one row per split: its last header id) is
+      window-scanned and broadcast-joined back, so those boundary
+      lines re-key to the previous split's last record. Records and
+      splits never need to align.
+
+    Everything is JVM-side (rlike / window / collect_list+array_sort);
+    no Python in the path.
+    """
+    lines = lines.select(
+        "value",
+        F.col("_metadata.file_path").alias("src_file"),
+        F.col("_metadata.file_block_start").alias("blk"),
+        F.monotonically_increasing_id().alias("seq"),
+    )
+    is_hdr = F.col("value").rlike(header_re)
+    w_run = (
+        Window.partitionBy("src_file", "blk")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    keyed = lines.withColumn(
+        "hdr_seq",
+        F.last(F.when(is_hdr, F.col("seq")), ignorenulls=True).over(w_run),
+    )
+    # one row per split: the last header it contains (None for a split
+    # of pure continuation lines — F.last skips it and keeps walking
+    # back, so a record spanning >2 splits still re-keys correctly)
+    w_prev = (
+        Window.partitionBy("src_file")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blocks = (
+        keyed.groupBy("src_file", "blk")
+        .agg(F.max("hdr_seq").alias("last_hdr"))
+        .withColumn("prev_hdr", F.last("last_hdr", ignorenulls=True).over(w_prev))
+        .select("src_file", "blk", "prev_hdr")
+    )
+    asm = (
+        keyed.join(F.broadcast(blocks), ["src_file", "blk"], "left")
+        .withColumn("rec", F.coalesce("hdr_seq", "prev_hdr"))
+        .filter(F.col("rec").isNotNull())
+    )
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col("blk"), F.col("seq"), F.col("value")))
+    )
+    return (
+        asm.groupBy("src_file", "rec")
+        .agg(
+            F.concat_ws(
+                "\n", F.transform(parts, lambda s: s["value"])
+            ).alias("raw"),
+            F.min("blk").alias("blk"),
+            F.min("seq").alias("seq"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .drop("rec")
+    )
+
+
+def read_raw_multiline(spark: SparkSession, path: str,
+                       ref_year: int = 2026) -> DataFrame:
+    """Raw syslog text WITH continuation lines -> transcript-shaped
+    frame: :func:`assemble_multiline` folds records, then the header
+    fields parse exactly as :func:`read_raw_syslog` and the record's
+    ``text`` is the header message plus the continuation lines
+    (original indentation preserved, newline-joined)."""
+    recs = assemble_multiline(spark.read.text(path))
+    hdr = F.substring_index(F.col("raw"), "\n", 1)
+    rest = F.expr(
+        "substr(raw, length(substring_index(raw, '\n', 1)) + 2)"
+    )
+    parts = recs.select(
+        F.regexp_extract(hdr, SYSLOG_RE, 1).alias("mon"),
+        F.regexp_extract(hdr, SYSLOG_RE, 2).alias("day"),
+        F.regexp_extract(hdr, SYSLOG_RE, 3).alias("hms"),
+        F.regexp_extract(hdr, SYSLOG_RE, 4).alias("host"),
+        F.regexp_extract(hdr, SYSLOG_RE, 5).alias("program"),
+        F.regexp_extract(hdr, SYSLOG_RE, 6).alias("pid"),
+        F.when(rest == "", F.regexp_extract(hdr, SYSLOG_RE, 7))
+        .otherwise(F.concat(F.regexp_extract(hdr, SYSLOG_RE, 7),
+                            F.lit("\n"), rest)).alias("message"),
+    )
+    ts = F.to_timestamp_ntz(
+        F.concat_ws(" ", F.lit(str(ref_year)), F.col("mon"), F.col("day"),
+                    F.col("hms")),
+        F.lit("yyyy MMM d HH:mm:ss"),
+    )
+    w = Window.partitionBy("host").orderBy("ts", "message")
+    out = (
+        parts.filter(F.col("host") != "")
+        .withColumn("ts", ts)
+        .withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+    )
+    return out.select(
+        F.col("host").alias("conv_id"),
+        "turn_idx",
+        F.col("program").alias("role"),
+        F.col("message").alias("text"),
+        F.when(F.col("pid") != "",
+               F.concat(F.col("program"), F.lit("["), F.col("pid"), F.lit("]")))
+        .otherwise(F.col("program")).alias("tool"),
+        "ts",
+    )
+
+
 def read_raw_syslog(spark: SparkSession, path: str, ref_year: int = 2026) -> DataFrame:
     """Raw syslog text -> transcript-shaped DataFrame (S1 compat mode)."""
     lines = spark.read.text(path)

@@ -1,0 +1,159 @@
+"""Multiline record assembly (sources.assemble_multiline /
+read_raw_multiline): continuation lines fold into their governing
+header, split-boundary-safe — the property that matters at TB file
+sizes, where a record's header and its continuation lines routinely
+land in different file splits (tasks)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparse_spark import sources
+
+
+def _write(tmp_path, name, lines):
+    p = tmp_path / name
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+HDRS = [
+    "Jan 10 00:00:01 web-01 sshd[100]: login failed for user alice from 10.0.1.2",
+    "Jan 10 00:00:02 web-01 nginx[200]: upstream timeout",
+    "Jan 10 00:00:03 db-01 cron: rotation complete",
+]
+
+
+def test_basic_fold(spark, tmp_path):
+    lines = [
+        HDRS[0],
+        "    at com.example.Foo.bar(Foo.java:1)",
+        "\tcaused by: timeout",
+        HDRS[1],
+        HDRS[2],
+        "-- stray unindented junk --",
+    ]
+    path = _write(tmp_path, "a.log", lines)
+    rows = {r.turn_idx: r for r in sources.read_raw_multiline(spark, path)
+            .filter(F.col("conv_id") == "web-01").collect()}
+    assert rows[0].text == ("login failed for user alice from 10.0.1.2\n"
+                            "    at com.example.Foo.bar(Foo.java:1)\n"
+                            "\tcaused by: timeout")
+    assert rows[0].role == "sshd" and rows[0].tool == "sshd[100]"
+    # stray junk joined the LAST record (db-01's), not web-01's second
+    assert rows[1].text == "upstream timeout"
+    db = sources.read_raw_multiline(spark, path).filter(
+        F.col("conv_id") == "db-01").collect()
+    assert db[0].text == "rotation complete\n-- stray unindented junk --"
+
+
+def test_leading_orphans_dropped(spark, tmp_path):
+    path = _write(tmp_path, "b.log", [
+        "    orphan continuation before any header",
+        "\tanother orphan",
+        HDRS[0],
+        "    kept frame",
+    ])
+    out = sources.read_raw_multiline(spark, path).collect()
+    assert len(out) == 1
+    assert out[0].text == ("login failed for user alice from 10.0.1.2\n"
+                           "    kept frame")
+
+
+def test_header_only_stream_matches_singleline_reader(spark, tmp_path):
+    """With zero continuation lines the multiline reader must agree
+    with read_raw_syslog row-for-row (malformed lines differ by
+    design: syslog drops them, multiline folds them — so use a
+    clean-header file)."""
+    path = _write(tmp_path, "c.log", HDRS * 5)
+    a = sorted(map(tuple, sources.read_raw_syslog(spark, path).collect()))
+    b = sorted(map(tuple, sources.read_raw_multiline(spark, path).collect()))
+    assert a == b
+
+
+@pytest.mark.parametrize("split_bytes", [1024, 4096])
+def test_split_boundary_invariance(spark, split_bytes):
+    """THE scale property: forcing the fixture file into many small
+    splits (so records straddle split boundaries) must not change one
+    assembled record. On a real cluster splits are 128 MB; equality
+    across split sizes here is equality across any layout."""
+    from logparse_spark.fixtures.gen_multiline import ensure_multiline_fixture
+
+    path = ensure_multiline_fixture("0.001")
+    before = {
+        "spark.sql.files.maxPartitionBytes":
+            spark.conf.get("spark.sql.files.maxPartitionBytes"),
+        "spark.sql.files.openCostInBytes":
+            spark.conf.get("spark.sql.files.openCostInBytes"),
+    }
+    whole = sorted(map(tuple, sources.read_raw_multiline(spark, path).collect()))
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split_bytes)
+        spark.conf.set("spark.sql.files.openCostInBytes", 0)
+        lines = spark.read.text(path)
+        n_splits = lines.rdd.getNumPartitions()
+        assert n_splits > 8, "fixture did not split — test is vacuous"
+        split = sorted(map(tuple, sources.read_raw_multiline(spark, path).collect()))
+    finally:
+        for k, v in before.items():
+            spark.conf.set(k, v)
+    assert whole == split
+
+
+def test_record_spanning_three_splits(spark, tmp_path):
+    """A record whose continuation lines span MORE than one following
+    split: the per-split prefix re-key must walk back past splits that
+    contain no header at all (last_hdr NULL), not just one."""
+    long_tail = [f"    at frame.number.{i:04d}(F.java:{i})" for i in range(200)]
+    path = _write(tmp_path, "d.log", [HDRS[0]] + long_tail + [HDRS[2]])
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", 512)
+        spark.conf.set("spark.sql.files.openCostInBytes", 0)
+        assert spark.read.text(path).rdd.getNumPartitions() > 5
+        out = sources.read_raw_multiline(spark, path).collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+    assert len(out) == 2
+    web = next(r for r in out if r.conv_id == "web-01")
+    assert web.text.count("\n") == 200
+    assert web.text.splitlines()[1:] == long_tail
+
+
+def test_assembly_plan_is_jvm_only(spark):
+    """No Python evaluation anywhere in the assembly plan."""
+    from logparse_spark.fixtures.gen_multiline import ensure_multiline_fixture
+
+    path = ensure_multiline_fixture("0.001")
+    plan = (sources.read_raw_multiline(spark, path)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_multiline_fixture_deterministic():
+    from logparse_spark.fixtures.gen_multiline import gen_multiline_lines
+
+    a = gen_multiline_lines(500)
+    b = gen_multiline_lines(500)
+    assert a == b
+    assert any(l.startswith(("    ", "\t")) for l in a)
+    assert not a[0].startswith(("    ", "\t", "--"))
+
+
+def test_multiline_through_pipeline(spark):
+    """Assembled records flow through the standard dispatch: rules
+    match on the HEADER line content (search semantics, '.' stops at
+    newline) even with a folded stack trace appended."""
+    from logparse_spark import stages
+    from logparse_spark.fixtures.gen_multiline import ensure_multiline_fixture
+    from logparse_spark.rules import load_rules
+
+    rules = load_rules("/root/repo/rules/default.rules")
+    path = ensure_multiline_fixture("0.001")
+    df = sources.read_raw_multiline(spark, path)
+    pdf = stages.parse_match(df, rules)
+    counts = {r["sink_id"]: r["n"]
+              for r in stages.sink_counts(stages.routed(pdf)).collect()}
+    n_ignored = pdf.filter(F.col("action") == "ignore").count()
+    assert sum(counts.values()) + n_ignored == df.count()
+    assert len(counts) > 2
