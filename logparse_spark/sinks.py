@@ -142,6 +142,37 @@ def _stat_str(v) -> str | None:
     return None
 
 
+def _stat_ts(v) -> str | None:
+    """Parquet timestamp-column min/max as a sortable ISO string (or
+    None when unrepresentable). pyarrow surfaces TIMESTAMP stats as
+    datetime — tz-aware when the file says isAdjustedToUTC, which the
+    canonical NTZ frame never writes; an aware value is normalized to
+    naive UTC so mixed layouts still compare on one axis."""
+    import datetime as _dt
+
+    if not isinstance(v, _dt.datetime):
+        return None
+    if v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v.isoformat(sep=" ", timespec="microseconds")
+
+
+def _parse_ts_bound(v) -> "object":
+    """Accept a datetime or ISO string bound; return a naive datetime
+    (comparisons against the sidecar's _stat_ts strings parse back
+    through here, so boundary equality never depends on string
+    formatting quirks)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        out = v
+    else:
+        out = _dt.datetime.fromisoformat(str(v).replace("T", " "))
+    if out.tzinfo is not None:
+        out = out.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return out
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp.{uuid.uuid4().hex}"
@@ -373,32 +404,43 @@ class SinkSet:
         def one(item: tuple[str, dict]) -> dict:
             path, parts = item
             md = pq.read_metadata(path)
-            rec = {
+
+            def bounds(col: str, to_py) -> tuple:
+                # all-row-group stats or nothing: a single group with
+                # missing/undecodable stats makes the column unprunable
+                # for this file rather than risk a wrong bound
+                try:
+                    ci = md.schema.names.index(col)
+                except ValueError:
+                    return None, None
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        return None, None
+                    # UTF-8 byte order equals code-point order, so
+                    # early str conversion preserves the min/max
+                    # comparison (conv_id); timestamps normalize to
+                    # naive-UTC ISO strings (ts)
+                    smin, smax = to_py(st.min), to_py(st.max)
+                    if smin is None or smax is None:
+                        return None, None
+                    lo = smin if lo is None else min(lo, smin)
+                    hi = smax if hi is None else max(hi, smax)
+                return lo, hi
+
+            conv_lo, conv_hi = bounds("conv_id", _stat_str)
+            ts_lo, ts_hi = bounds("ts", _stat_ts)
+            return {
                 "rel": os.path.relpath(path, run_dir),
                 "bucket": int(parts["bucket"]) if "bucket" in parts else None,
                 "sink_id": parts.get("sink_id"),
                 "rows": md.num_rows,
-                "conv_min": None,
-                "conv_max": None,
+                "conv_min": conv_lo,
+                "conv_max": conv_hi,
+                "ts_min": ts_lo,
+                "ts_max": ts_hi,
             }
-            try:
-                ci = md.schema.names.index("conv_id")
-            except ValueError:
-                return rec
-            lo = hi = None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ci).statistics
-                if st is None or not st.has_min_max:
-                    return rec
-                # UTF-8 byte order equals code-point order, so early
-                # str conversion preserves the min/max comparison
-                smin, smax = _stat_str(st.min), _stat_str(st.max)
-                if smin is None or smax is None:
-                    return rec
-                lo = smin if lo is None else min(lo, smin)
-                hi = smax if hi is None else max(hi, smax)
-            rec["conv_min"], rec["conv_max"] = lo, hi
-            return rec
 
         if len(todo) > 8:
             from concurrent.futures import ThreadPoolExecutor
@@ -444,12 +486,15 @@ class SinkSet:
         of the true one and pruning on it can never drop a matching
         file."""
         run_dir = self._run_dir()
-        stats: dict[str, dict] = {
-            r["rel"]: {"conv_min": r["conv_min"], "conv_max": r["conv_max"],
-                       "rows": r["rows"]}
-            for r in self._scan_footers()
-            if r["conv_min"] is not None and r["conv_max"] is not None
-        }
+        stats: dict[str, dict] = {}
+        for r in self._scan_footers():
+            ent = {"rows": r["rows"]}
+            if r["conv_min"] is not None and r["conv_max"] is not None:
+                ent["conv_min"], ent["conv_max"] = r["conv_min"], r["conv_max"]
+            if r["ts_min"] is not None and r["ts_max"] is not None:
+                ent["ts_min"], ent["ts_max"] = r["ts_min"], r["ts_max"]
+            if len(ent) > 1:
+                stats[r["rel"]] = ent
         if stats:
             _atomic_write_json(
                 os.path.join(run_dir, "_filestats.json"), stats)
@@ -872,6 +917,7 @@ class SinkSet:
                 keep = [
                     r for r in rels
                     if r not in stats
+                    or "conv_min" not in stats[r]
                     or stats[r]["conv_min"] <= conv_id <= stats[r]["conv_max"]
                 ]
                 if len(keep) < len(rels):
@@ -885,6 +931,69 @@ class SinkSet:
                 by_run = dict(list(by_run.items())[:1])
         return self._read_committed(spark, by_run, file_sel=file_sel) \
             .filter(cond)
+
+    def read_time_range(self, spark: SparkSession, lo, hi,
+                        as_of: int | None = None) -> DataFrame:
+        """Event-time range read ``lo <= ts < hi`` with FILE-level
+        skipping from the ``_filestats.json`` ts bounds — the Iceberg
+        scan-planning analogue of pruning data files on column
+        min/max before any task is scheduled.
+
+        Where the skipping bites at 100 TB: file bounds are only as
+        narrow as the layout's time clustering, exactly like Iceberg.
+        Files here are (conv_id, turn_idx)-sorted and compaction rolls
+        each (bucket, sink) into conv-contiguous files — so when
+        conversation ids are time-ordered (ULID/snowflake-style ids,
+        the common production scheme, where a conversation's id prefix
+        encodes its start time), every compacted file covers a narrow
+        event-time band and a time-range read plans a small fraction
+        of the table's files (pinned by tests/test_time_skipping.py).
+        With time-random ids the bounds are wide and this degrades
+        gracefully to a full plan — never a wrong one: parquet may
+        truncate stats only outward, so a recorded range is a superset
+        of the truth and skipping can never drop a matching row. The
+        residual ``ts`` predicate then cuts row groups via the same
+        footer stats at scan time.
+
+        Files without recorded ts bounds and runs that predate the
+        sidecar stay planned (never silently unprunable-and-skipped);
+        ``as_of`` time-travels the range read like
+        :meth:`read_routed`."""
+        lo_dt, hi_dt = _parse_ts_bound(lo), _parse_ts_bound(hi)
+        if not lo_dt < hi_dt:
+            raise ValueError(f"empty time range: {lo!r} .. {hi!r}")
+        by_run = self._buckets_as_of(as_of) if as_of is not None \
+            else self._committed_by_run()
+        file_sel: dict[str, list[str]] = {}
+        for run_id in by_run:
+            stats = self._file_stats(run_id)
+            if stats is None:
+                continue
+            base = os.path.join(self.out_dir, "runs", run_id)
+            rels = []
+            for root, _, files in os.walk(base):
+                rels.extend(
+                    os.path.relpath(os.path.join(root, f), base)
+                    for f in files if f.endswith(".parquet"))
+            keep = [
+                r for r in rels
+                if r not in stats
+                or "ts_min" not in stats[r]
+                or (_parse_ts_bound(stats[r]["ts_max"]) >= lo_dt
+                    and _parse_ts_bound(stats[r]["ts_min"]) < hi_dt)
+            ]
+            if len(keep) < len(rels):
+                file_sel[run_id] = keep
+        if by_run and all(not file_sel.get(r, [True]) for r in by_run):
+            # nothing can intersect: keep one dir-granularity run for
+            # schema; the ts predicate prunes it to zero row groups
+            file_sel = {}
+            by_run = dict(list(by_run.items())[:1])
+        df = self._read_committed(spark, by_run, file_sel=file_sel)
+        ts_type = dict(df.dtypes)["ts"]
+        lo_lit = F.lit(lo_dt.isoformat(sep=" ")).cast(ts_type)
+        hi_lit = F.lit(hi_dt.isoformat(sep=" ")).cast(ts_type)
+        return df.filter((F.col("ts") >= lo_lit) & (F.col("ts") < hi_lit))
 
     def rollback(self, to_snapshot: int) -> dict:
         """Repoint the LIVE table to an earlier snapshot's bucket -> run
