@@ -378,6 +378,11 @@ def parse_and_match_pandas(
             if rule.spec.action == "count":
                 count_key[hit] = vals
                 rendered[hit] = vals
+            elif rule.spec.action == "sum":
+                # payload = extracted VALUE; key has its own template
+                rendered[hit] = vals
+                count_key[hit] = _render(
+                    rule.key_template, groups).to_numpy(dtype=object)
             else:  # report
                 rendered[hit] = vals
 

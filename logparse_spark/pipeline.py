@@ -157,8 +157,20 @@ def run(
         # exactly once (per-sink conv cardinality: opt-in HLL here, or
         # exact on demand via SinkSet.compute_sink_cardinality)
         sink = SinkSet(out_dir=out_dir, fmt=sink_format, table=sink_table)
+        if any(r.spec.action == "sum" for r in compiled.rules):
+            # sum rules are the one case where the grouping key is not
+            # re-derivable from the payload (rendered = the VALUE), so
+            # it persists — nulled for every other action, where the
+            # column costs only a null bitmap bit per row
+            wdf = cdf.withColumn(
+                "count_key",
+                F.when(F.col("action") == "sum", F.col("count_key")))
+        else:
+            # count keys are rendered == count_key by construction:
+            # never write the duplicate column
+            wdf = cdf.drop("count_key")
         lineage = sink.write_classified(
-            cdf, sinks=compiled.sink_ids,
+            wdf, sinks=compiled.sink_ids,
             observe_cardinality=observe_cardinality,
         )
         if audit is not None:
@@ -264,6 +276,18 @@ def render_report(
 
     count_rules = [r.spec.name for r in compiled.rules if r.spec.action == "count"]
     report_rules = [r.spec.name for r in compiled.rules if r.spec.action == "report"]
+    sum_rules = [r.spec.name for r in compiled.rules if r.spec.action == "sum"]
+    # per-rule noise floor ("min N" in the DSL): keys whose aggregate
+    # is below it are folded out of the RENDERED summary only — routed
+    # rows and lineage totals are untouched
+    thresholds = {r.spec.name: r.spec.min_agg
+                  for r in compiled.rules if r.spec.min_agg is not None}
+
+    def _thr_col():
+        expr = F.lit(0)
+        for name, t in thresholds.items():
+            expr = F.when(F.col("rule_name") == name, F.lit(t)).otherwise(expr)
+        return expr
 
     keyed_by_rule: dict[str, list] = {}
     if count_rules:
@@ -271,12 +295,29 @@ def render_report(
         rows = (
             routed.filter(F.col("rule_name").isin(count_rules))
             .groupBy("rule_name", "count_key").agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= _thr_col())
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= max_lines_per_rule)
             .collect()
         )
         for r in sorted(rows, key=lambda r: (r["rule_name"], r["rk"])):
             keyed_by_rule.setdefault(r["rule_name"], []).append(r)
+
+    sums_by_rule: dict[str, list] = {}
+    if sum_rules:
+        w = Window.partitionBy("rule_name").orderBy(F.desc("total"), "count_key")
+        rows = (
+            routed.filter(F.col("rule_name").isin(sum_rules))
+            .groupBy("rule_name", "count_key")
+            .agg(F.sum(F.col("rendered").cast("double")).alias("total"),
+                 F.count(F.lit(1)).alias("n"))
+            .filter(F.col("total") >= _thr_col())
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= max_lines_per_rule)
+            .collect()
+        )
+        for r in sorted(rows, key=lambda r: (r["rule_name"], r["rk"])):
+            sums_by_rule.setdefault(r["rule_name"], []).append(r)
 
     sample_by_rule: dict[str, list] = {}
     if report_rules:
@@ -298,6 +339,11 @@ def render_report(
         if rule.spec.action == "count":
             for r in keyed_by_rule.get(rule.spec.name, []):
                 lines.append(f"  {r['count_key']}: {r['n']}")
+        elif rule.spec.action == "sum":
+            for r in sums_by_rule.get(rule.spec.name, []):
+                total = r["total"]
+                total = int(total) if total == int(total) else total
+                lines.append(f"  {r['count_key']}: {total} over {r['n']}")
         elif rule.spec.action == "report":
             for r in sample_by_rule.get(rule.spec.name, []):
                 lines.append(f"  {r['rendered']}")

@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 from .grok import expand_grok
 
 VALID_FIELDS = ("text", "tool")
-VALID_ACTIONS = ("ignore", "count", "report")
+VALID_ACTIONS = ("ignore", "count", "report", "sum")
 
 # Reserved sink ids that no rule may claim.
 SINK_IGNORED = "ignored"
@@ -41,7 +41,7 @@ _RULE_RE = re.compile(
     r"""^rule\s+(?P<name>\w+)
         (?:\s+on\s+(?P<field>text|tool))?
         \s+match\s+/(?P<pattern>(?:[^/\\]|\\.)*)/(?P<flags>i?)
-        \s+(?P<action>ignore|count|report)
+        \s+(?P<action>ignore|count|report|sum)
         (?:\s+(?P<rest>.*))?$""",
     re.VERBOSE,
 )
@@ -61,10 +61,17 @@ class RuleSpec:
     name: str
     field: str          # "text" | "tool"
     pattern: str        # regex source (grok tokens already expanded)
-    action: str         # "ignore" | "count" | "report"
-    template: str | None  # count key template or report template
+    action: str         # "ignore" | "count" | "report" | "sum"
+    template: str | None  # count key / report template; sum VALUE ("{n}")
     # grok %{NAME:field} captures: (field, capture group number), in order
     named_groups: tuple[tuple[str, int], ...] = ()
+    # sum only: grouping-key template (defaults to the rule name — one
+    # accumulator per rule, the LogParse per-rule counter shape)
+    key_template: str | None = None
+    # count/sum: report-stage threshold — keys whose aggregate is below
+    # it are folded out of the rendered summary (logwatch-style noise
+    # floor); never filters routed rows, only the report
+    min_agg: int | None = None
 
 
 @dataclass(frozen=True)
@@ -108,6 +115,7 @@ class CompiledRule:
     regex_search: re.Pattern  # non-capturing variant, match-only pass
     template: CompiledTemplate | None
     n_groups: int
+    key_template: CompiledTemplate | None = None  # sum rules only
 
     @property
     def rule_id(self) -> int:
@@ -202,14 +210,30 @@ def parse_rules(text: str) -> list[RuleSpec]:
         action = m.group("action")
         rest = (m.group("rest") or "").strip()
         template: str | None = None
+        key_template: str | None = None
+        min_agg: int | None = None
         if action == "ignore":
             if rest:
                 raise RuleSyntaxError(f"line {lineno}: ignore takes no template")
         elif action == "count":
+            rest, min_agg = _split_min(rest)
             # key template; bare "{1}" or quoted "...{1}..."
             if not rest:
                 raise RuleSyntaxError(f"line {lineno}: count needs a key template")
             template = _unquote(rest)
+        elif action == "sum":
+            # sum {n} [key "TEMPLATE"] [min N] — {n} is the numeric
+            # VALUE capture; the key defaults to one accumulator per
+            # rule (rendered under the rule's name)
+            rest, min_agg = _split_min(rest)
+            ms = re.match(r'^\{(\d+)\}(?:\s+key\s+(?P<key>".*"|\S+))?$', rest)
+            if not ms or int(ms.group(1)) < 1:
+                raise RuleSyntaxError(
+                    f"line {lineno}: sum needs a value group "
+                    f'(sum {{n}} [key "TEMPLATE"] [min N]): {rest!r}')
+            template = "{" + ms.group(1) + "}"
+            key_template = _unquote(ms.group("key")) if ms.group("key") \
+                else name
         elif action == "report":
             if not (rest.startswith('"') and rest.endswith('"') and len(rest) >= 2):
                 raise RuleSyntaxError(f"line {lineno}: report needs a quoted template")
@@ -239,9 +263,20 @@ def parse_rules(text: str) -> list[RuleSpec]:
                 action=action,
                 template=template,
                 named_groups=named_groups,
+                key_template=key_template,
+                min_agg=min_agg,
             )
         )
     return specs
+
+
+def _split_min(rest: str) -> tuple[str, int | None]:
+    """Strip a trailing ``min N`` clause. Never reaches inside a quoted
+    template (a rest ending in ``"`` has no trailing clause)."""
+    m = re.search(r"\s+min\s+(\d+)$", rest)
+    if m and not rest.endswith('"'):
+        return rest[: m.start()].strip(), int(m.group(1))
+    return rest, None
 
 
 def _unquote(s: str) -> str:
@@ -268,6 +303,16 @@ def compile_rules(text: str) -> CompiledRules:
                 f"rule {spec.name!r}: template references group "
                 f"{tmpl.max_group} but pattern has {rx.groups}"
             )
+        ktmpl = (
+            compile_template(spec.key_template, named=dict(spec.named_groups))
+            if spec.key_template is not None
+            else None
+        )
+        if ktmpl is not None and ktmpl.max_group > rx.groups:
+            raise RuleSyntaxError(
+                f"rule {spec.name!r}: key template references group "
+                f"{ktmpl.max_group} but pattern has {rx.groups}"
+            )
         compiled.append(
             CompiledRule(
                 spec=spec,
@@ -275,6 +320,7 @@ def compile_rules(text: str) -> CompiledRules:
                 regex_search=re.compile(nogroup_pattern(spec.pattern)),
                 template=tmpl,
                 n_groups=rx.groups,
+                key_template=ktmpl,
             )
         )
     return CompiledRules(rules=tuple(compiled), source_text=text)
@@ -344,17 +390,21 @@ def dispatch_case_sql(rules: CompiledRules, dialect: str = "duckdb",
 
 
 def template_sql(rule: CompiledRule, dialect: str = "duckdb",
-                 text_col: str = "text", tool_col: str = "tool") -> str:
+                 text_col: str = "text", tool_col: str = "tool",
+                 which: str = "template") -> str:
     """Emit a rule's template render as a SQL concat of regexp_extract calls.
 
     Only valid on rows already known to match the rule's pattern.
+    ``which``: "template" (count key / report / sum value) or "key"
+    (a sum rule's grouping-key template).
     """
     col = text_col if rule.spec.field == "text" else tool_col
     pat = _sql_quote(rule.spec.pattern)
-    if rule.template is None:
+    tmpl = rule.template if which == "template" else rule.key_template
+    if tmpl is None:
         return "''"
     pieces: list[str] = []
-    for kind, val in rule.template.parts:
+    for kind, val in tmpl.parts:
         if kind == "lit":
             pieces.append(_sql_quote(val))  # type: ignore[arg-type]
         else:

@@ -58,7 +58,7 @@ MANIFEST_FILE = "committed.json"
 # project onto (the present subset of) this list, so every committed
 # run draws its schema from one place.
 SINK_COLUMNS = ["bucket", "sink_id", "conv_id", "turn_idx", "role", "ts",
-                "rule_id", "rule_name", "action", "rendered",
+                "rule_id", "rule_name", "action", "rendered", "count_key",
                 "role_class", "weight", "tool_family", "is_privileged"]
 
 
@@ -776,7 +776,17 @@ class SinkSet:
         by_run = self._buckets_as_of(as_of) if as_of is not None else None
         out = self._read_committed(spark, by_run)
         out = out.filter(F.col("sink_id") != "ignored")
-        if "count_key" not in out.columns and "action" in out.columns:
+        if "count_key" in out.columns and "action" in out.columns:
+            # written count_key is sum-rules-only (write path nulls the
+            # rest); count keys re-derive from the payload
+            out = out.withColumn(
+                "count_key",
+                F.coalesce(
+                    F.col("count_key"),
+                    F.when(F.col("action") == "count", F.col("rendered")),
+                ).cast("string"),
+            )
+        elif "action" in out.columns:
             out = out.withColumn(
                 "count_key",
                 F.when(F.col("action") == "count", F.col("rendered")).cast("string"),

@@ -230,18 +230,32 @@ def parse_match_slim(df: DataFrame, compiled: CompiledRules,
     if engine in ("udf", "pandas_udf"):
         from .packaging import ensure_shipped
         from .udf import attach_match, make_parse_and_match_arrow_udf, \
-            make_parse_and_match_udf
+            make_parse_and_match_udf, sum_key_col
 
         ensure_shipped(df.sparkSession)
         make = (make_parse_and_match_arrow_udf if engine == "udf"
                 else make_parse_and_match_udf)
         udf = make(compiled)
-        return attach_match(df, udf(F.col("text"), F.col("tool")))
+        out = attach_match(df, udf(F.col("text"), F.col("tool")))
+        sk = sum_key_col(compiled)
+        if sk is not None:
+            # sum-rule grouping keys must be derived BEFORE the
+            # pipeline drops text for the exchange; the shuffle then
+            # carries one extra nullable string — only for rule sets
+            # that actually use sum
+            out = out.withColumn("sum_key", sk)
+        return out
     if engine == "sql":
         # the CASE emits metadata as inline constants; dropping them
         # here and re-attaching post-shuffle keeps the exchange slim
-        return with_match_sql(df, compiled).drop(
-            "rule_name", "action", "sink_id", "count_key")
+        out = with_match_sql(df, compiled)
+        sum_ids = [r.rule_id for r in compiled.rules
+                   if r.spec.action == "sum"]
+        if sum_ids:
+            out = out.withColumn(
+                "sum_key",
+                F.when(F.col("rule_id").isin(sum_ids), F.col("count_key")))
+        return out.drop("rule_name", "action", "sink_id", "count_key")
     raise ValueError(f"unknown engine {engine!r}")
 
 
@@ -280,4 +294,20 @@ def keyed_counts(df: DataFrame) -> DataFrame:
         df.filter(F.col("action") == "count")
         .groupBy("rule_name", "count_key")
         .agg(F.count("*").alias("n"))
+    )
+
+
+def keyed_sums(df: DataFrame) -> DataFrame:
+    """SUM-action keyed totals: the rendered payload of a sum rule IS
+    the extracted numeric value, so the aggregate is a plain
+    partial+final hash agg over (rule, key) — no Python, one shuffle.
+    Totals cast back to BIGINT for integer-valued fields (exact in
+    double up to 2^53; decimal fields should aggregate the double)."""
+    return (
+        df.filter(F.col("action") == "sum")
+        .groupBy("rule_name", "count_key")
+        .agg(
+            F.sum(F.col("rendered").cast("double")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )

@@ -152,20 +152,28 @@ def attach_rule_metadata(df: DataFrame, compiled: CompiledRules) -> DataFrame:
     and cost ~20-25 bytes/row of shuffle+sort traffic."""
     meta = rule_metadata_df(df.sparkSession, compiled)
     out = df.join(F.broadcast(meta), "rule_id", "left")
-    return (
+    ck = F.when(F.col("action") == "count", F.col("rendered"))
+    if "sum_key" in df.columns:
+        # sum rules: the key crossed the exchange in its own column
+        # (derived pre-shuffle by sum_key_col — see its docstring)
+        ck = F.coalesce(ck, F.col("sum_key"))
+    out = (
         out.withColumn("action", F.coalesce(F.col("action"), F.lit(SINK_UNMATCHED)))
         .withColumn("sink_id", F.coalesce(F.col("sink_id"), F.lit(SINK_UNMATCHED)))
-        .withColumn(
-            "count_key",
-            F.when(F.col("action") == "count", F.col("rendered")).cast("string"),
-        )
+        .withColumn("count_key", ck.cast("string"))
     )
+    return out.drop("sum_key") if "sum_key" in df.columns else out
 
 
 def _finish_match(df: DataFrame, compiled: CompiledRules, m: Column) -> DataFrame:
     """Shared tail of every UDF engine: star-expand the slim struct,
-    broadcast-join rule metadata, derive action/sink_id/count_key."""
-    return attach_rule_metadata(attach_match(df, m), compiled)
+    broadcast-join rule metadata, derive action/sink_id/count_key
+    (sum-rule keys render here, while the source field is in scope)."""
+    out = attach_match(df, m)
+    sk = sum_key_col(compiled)
+    if sk is not None:
+        out = out.withColumn("sum_key", sk)
+    return attach_rule_metadata(out, compiled)
 
 
 def with_match_arrow(df: DataFrame, compiled: CompiledRules,
@@ -207,11 +215,12 @@ def with_match_captures(df: DataFrame, compiled: CompiledRules,
 # Pure-SQL alternative (JVM-only): chained CASE on rlike, first match wins.
 # ---------------------------------------------------------------------------
 
-def _template_col(rule, col: Column) -> Column:
-    if rule.template is None:
+def _template_col(rule, col: Column, which: str = "template") -> Column:
+    tmpl = rule.template if which == "template" else rule.key_template
+    if tmpl is None:
         return F.lit(None).cast("string")
     pieces = []
-    for kind, val in rule.template.parts:
+    for kind, val in tmpl.parts:
         if kind == "lit":
             pieces.append(F.lit(val))
         else:
@@ -221,14 +230,42 @@ def _template_col(rule, col: Column) -> Column:
 
 def _rule_struct(r) -> Column:
     rendered = _template_col(r, F.col(r.spec.field))
+    if r.spec.action == "count":
+        ck = rendered  # key == payload by construction
+    elif r.spec.action == "sum":
+        # payload is the extracted VALUE; the grouping key renders from
+        # its own template
+        ck = _template_col(r, F.col(r.spec.field), which="key")
+    else:
+        ck = F.lit(None).cast("string")
     return F.struct(
         F.lit(r.rule_id).alias("rule_id"),
         F.lit(r.spec.name).alias("rule_name"),
         F.lit(r.spec.action).alias("action"),
         F.lit(r.sink_id).alias("sink_id"),
-        (rendered if r.spec.action == "count" else F.lit(None).cast("string")).alias("count_key"),
+        ck.alias("count_key"),
         (rendered if r.spec.action != "ignore" else F.lit(None).cast("string")).alias("rendered"),
     )
+
+
+def sum_key_col(compiled: CompiledRules) -> Column | None:
+    """Per-rule CASE deriving a sum rule's grouping key JVM-side from
+    the winning ``rule_id`` and the SOURCE field — evaluated while
+    text/tool still exist (pre-shuffle), because the slim Arrow
+    boundary carries only (rule_id, rendered=value) and a sum rule's
+    key, unlike a count rule's, is not the payload. None when the rule
+    set has no sum rules (the exchange then stays exactly as slim as
+    before). Group-extraction agreement between this Java regex render
+    and the kernel's RE2/Python render is pinned by the engine-equality
+    tests."""
+    expr: Column | None = None
+    for r in compiled.rules:
+        if r.spec.action != "sum":
+            continue
+        k = _template_col(r, F.col(r.spec.field), which="key")
+        cond = F.col("rule_id") == r.rule_id
+        expr = F.when(cond, k) if expr is None else expr.when(cond, k)
+    return expr
 
 
 def with_match_sql(df: DataFrame, compiled: CompiledRules) -> DataFrame:

@@ -1,0 +1,167 @@
+"""The sum action (`sum {n} [key "TPL"] [min N]`): numeric field
+aggregation per rule/key — the "bytes transferred" accumulator every
+log-report tool grows — plus the report-stage `min` noise floor.
+
+Architecture property under test: the slim Arrow boundary still
+carries only (rule_id, rendered) — for sum rules rendered IS the
+extracted value, and the grouping key is derived JVM-side pre-shuffle
+(sum_key_col) and crosses the exchange in its own nullable column
+ONLY when the rule set uses sum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparse_spark import pipeline, stages
+from logparse_spark.rules import RuleSyntaxError, compile_rules, load_rules
+from logparse_spark.sinks import SinkSet
+
+RULES = """
+rule hb match /^heartbeat ping seq=\\d+$/ ignore
+rule stepsum match /ERROR (\\d+): .+ in step (\\d+)/ sum {2} key "code {1}"
+rule msgsum on text match /\\(msg (\\d+)\\)$/ sum {1} min 50
+rule authfail match /login failed for user (\\w+) from ([\\d.]+)/ count {1}
+"""
+
+ROWS = [
+    ("c1", 0, "u", "ERROR 17: boom in step 4", "x"),
+    ("c1", 1, "u", "ERROR 17: pow in step 6", "x"),
+    ("c1", 2, "u", "ERROR 99: zap in step 1", "x"),
+    ("c1", 3, "u", "filler (msg 10)", "x"),
+    ("c2", 0, "u", "filler (msg 32)", "x"),
+    ("c2", 1, "u", "heartbeat ping seq=5", "x"),
+    ("c2", 2, "u", "login failed for user bob from 1.2.3.4", "x"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(*r, None) for r in ROWS],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+
+
+# -- DSL parsing ------------------------------------------------------------
+
+def test_parse_sum_variants():
+    c = compile_rules(RULES)
+    step = next(r for r in c.rules if r.spec.name == "stepsum")
+    assert step.spec.action == "sum"
+    assert step.spec.template == "{2}"          # the VALUE group
+    assert step.spec.key_template == "code {1}"
+    msg = next(r for r in c.rules if r.spec.name == "msgsum")
+    assert msg.spec.key_template == "msgsum"    # defaults to rule name
+    assert msg.spec.min_agg == 50
+
+
+def test_parse_count_min_and_quoted_guard():
+    c = compile_rules(
+        'rule a match /x(\\d+)/ count {1} min 3\n'
+        'rule b match /y(\\d+)/ count "k min 5"\n')
+    a, b = c.rules
+    assert a.spec.min_agg == 3 and a.spec.template == "{1}"
+    # a quoted template ending in `"` never loses a literal "min N"
+    assert b.spec.min_agg is None and b.spec.template == "k min 5"
+
+
+@pytest.mark.parametrize("bad", [
+    "rule s match /x/ sum",            # no value group
+    "rule s match /x/ sum {0}",        # group 0 invalid
+    "rule s match /x(\\d)/ sum {2}",   # value group out of range
+    'rule s match /x(\\d)/ sum {1} key "{3}"',  # key group out of range
+])
+def test_parse_sum_errors(bad):
+    with pytest.raises(RuleSyntaxError):
+        compile_rules(bad)
+
+
+# -- engines ----------------------------------------------------------------
+
+@pytest.mark.parametrize("engine", ["udf", "pandas_udf", "sql"])
+def test_engines_agree_on_sum(spark, engine):
+    c = compile_rules(RULES)
+    cdf = stages.parse_match(_df(spark), c, engine=engine)
+    got = sorted(map(tuple, cdf.select(
+        "turn_idx", "conv_id", "rule_name", "action",
+        "count_key", "rendered").collect()))
+    assert ("c1", "stepsum", "sum", "code 17", "4") == got[0][1:]
+    sums = {(r["rule_name"], r["count_key"]): (r["total"], r["n"])
+            for r in stages.keyed_sums(cdf).collect()}
+    assert sums == {
+        ("stepsum", "code 17"): (10.0, 2),
+        ("stepsum", "code 99"): (1.0, 1),
+        ("msgsum", "msgsum"): (42.0, 2),
+    }
+
+
+def test_slim_exchange_width(spark):
+    """sum_key crosses the exchange ONLY for sum-bearing rule sets."""
+    with_sums = stages.parse_match_slim(_df(spark), compile_rules(RULES))
+    assert "sum_key" in with_sums.columns
+    plain = stages.parse_match_slim(
+        _df(spark), load_rules("/root/repo/rules/default.rules"))
+    assert "sum_key" not in plain.columns
+    # and the attach consumes it
+    full = stages.attach_rule_metadata(with_sums, compile_rules(RULES))
+    assert "sum_key" not in full.columns
+    assert full.filter("action = 'sum' AND count_key IS NULL").count() == 0
+
+
+# -- pipeline / written table / report --------------------------------------
+
+@pytest.fixture(scope="module")
+def sum_run(spark, fixture_sf_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sum_run"))
+    rules = tmp_path_factory.mktemp("rules") / "combined.rules"
+    rules.write_text(RULES)
+    pipeline.run(
+        spark,
+        source_path=f"{fixture_sf_small}/transcripts.parquet",
+        out_dir=out, rules_path=str(rules), dict_dir=fixture_sf_small,
+        buckets=8, salt_buckets=2,
+    )
+    return out, str(rules)
+
+
+def test_written_table_carries_sum_keys_only(spark, sum_run):
+    out, _ = sum_run
+    routed = SinkSet(out_dir=out).read_routed(spark)
+    # sum rows: persisted key + numeric payload
+    sums = routed.filter("action = 'sum'")
+    assert sums.filter("count_key IS NULL").count() == 0
+    assert sums.filter("CAST(rendered AS DOUBLE) IS NULL").count() == 0
+    # count rows: key re-derived from the payload (nulled on disk)
+    counts = routed.filter("action = 'count'")
+    assert counts.count() > 0
+    assert counts.filter("count_key IS NULL").count() == 0
+    assert counts.filter("count_key <> rendered").count() == 0
+
+
+def test_keyed_sums_match_source_truth(spark, sum_run, fixture_sf_small):
+    out, rules_path = sum_run
+    routed = SinkSet(out_dir=out).read_routed(spark)
+    from_table = {
+        (r["rule_name"], r["count_key"]): (r["total"], r["n"])
+        for r in stages.keyed_sums(routed).collect()
+    }
+    src = stages.read_transcripts(
+        spark, f"{fixture_sf_small}/transcripts.parquet")
+    cdf = stages.parse_match(src, load_rules(rules_path))
+    from_source = {
+        (r["rule_name"], r["count_key"]): (r["total"], r["n"])
+        for r in stages.keyed_sums(cdf).collect()
+    }
+    assert from_table == from_source and from_table
+
+
+def test_report_renders_sums_and_min_floor(spark, sum_run):
+    out, rules_path = sum_run
+    rep = pipeline.render_report(spark, out, load_rules(rules_path))
+    assert "rule stepsum (sum):" in rep
+    assert "code " in rep
+    # msgsum has min 50: any rendered msgsum aggregate is >= 50
+    for line in rep.splitlines():
+        if line.strip().startswith("msgsum:"):
+            total = float(line.split(":")[1].split("over")[0])
+            assert total >= 50
