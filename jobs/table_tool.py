@@ -8,6 +8,8 @@ operator of the routed store actually uses, one spark-submit away:
     ... vacuum  [--min-age-minutes M]      # expire/remove_orphans analogue
     ... lookup --conv-id X [--as-of K]     # bucket-pruned point read
     ... changes --since K [--until J]      # incremental scan of new commits
+    ... timerange --from T0 --to T1        # event-time range read with
+                                           # file-level ts-bounds skipping
     ... cardinality                        # exact per-sink conv counts
     ... delete --conv-id X [--conv-id Y]   # DELETE FROM analogue (COW)
     ... upsert --source P --rules R [--dict-dir D]  # MERGE INTO analogue
@@ -54,6 +56,12 @@ def main() -> None:
     ch = sub.add_parser("changes")
     ch.add_argument("--since", type=int, required=True)
     ch.add_argument("--until", type=int, default=None)
+    tr = sub.add_parser("timerange")
+    tr.add_argument("--from", dest="ts_from", required=True,
+                    help="inclusive ISO lower bound, e.g. 2026-03-03")
+    tr.add_argument("--to", dest="ts_to", required=True,
+                    help="exclusive ISO upper bound")
+    tr.add_argument("--as-of", type=int, default=None)
     sub.add_parser("cardinality")
     dl = sub.add_parser("delete")
     dl.add_argument("--conv-id", action="append", required=True,
@@ -111,6 +119,17 @@ def main() -> None:
             df = ss.changes(spark, since=args.since, until=args.until)
             print(json.dumps({"since": args.since, "until": args.until,
                               "rows": df.count()}))
+        elif args.op == "timerange":
+            from pyspark.sql import functions as F
+
+            df = ss.read_time_range(spark, args.ts_from, args.ts_to,
+                                    as_of=args.as_of)
+            per_sink = {r["sink_id"]: r["n"] for r in
+                        df.groupBy("sink_id")
+                        .agg(F.count(F.lit(1)).alias("n")).collect()}
+            print(json.dumps({"from": args.ts_from, "to": args.ts_to,
+                              "rows": sum(per_sink.values()),
+                              "per_sink": per_sink}))
         elif args.op == "cardinality":
             print(json.dumps(ss.compute_sink_cardinality(spark)))
         elif args.op == "delete":

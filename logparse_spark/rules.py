@@ -226,11 +226,14 @@ def parse_rules(text: str) -> list[RuleSpec]:
             # VALUE capture; the key defaults to one accumulator per
             # rule (rendered under the rule's name)
             rest, min_agg = _split_min(rest)
-            ms = re.match(r'^\{(\d+)\}(?:\s+key\s+(?P<key>".*"|\S+))?$', rest)
-            if not ms or int(ms.group(1)) < 1:
+            ms = re.match(
+                r'^\{(\d+|[A-Za-z]\w*)\}(?:\s+key\s+(?P<key>".*"|\S+))?$',
+                rest)
+            if not ms or (ms.group(1).isdigit() and int(ms.group(1)) < 1):
                 raise RuleSyntaxError(
                     f"line {lineno}: sum needs a value group "
-                    f'(sum {{n}} [key "TEMPLATE"] [min N]): {rest!r}')
+                    f'(sum {{n}} [key "TEMPLATE"] [min N]; n a group '
+                    f"number or grok field name): {rest!r}")
             template = "{" + ms.group(1) + "}"
             key_template = _unquote(ms.group("key")) if ms.group("key") \
                 else name

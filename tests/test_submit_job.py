@@ -120,6 +120,17 @@ def test_table_tool_cli(tmp_path, fixture_sf_small, spark):
     snaps = json.loads(proc.stdout.strip().splitlines()[-1])["snapshots"]
     assert snaps and snaps[0]["snapshot_id"] == 0
 
+    # timerange: event-time range read (ts-bounds file skipping path);
+    # wide bounds must return every routed row of the table
+    proc = subprocess.run(
+        [sys.executable, tool, "--out", out_dir, "timerange",
+         "--from", "2000-01-01", "--to", "2100-01-01"],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["rows"] > 0 and res["per_sink"]
+
     # delete: a real Spark job through spark-submit --py-files
     conv = spark.read.parquet(
         os.path.join(fixture_sf_small, "transcripts.parquet")

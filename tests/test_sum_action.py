@@ -76,6 +76,28 @@ def test_parse_sum_errors(bad):
         compile_rules(bad)
 
 
+def test_sum_with_grok_named_captures(spark):
+    """Grok named tokens work in both the value and key templates —
+    the weblog shape: total response bytes per status class."""
+    c = compile_rules(
+        'rule bytes match /"%{WORD:verb} %{NOTSPACE}" %{NONNEGINT:status} '
+        '%{NONNEGINT:nbytes}/ sum {nbytes} key "{verb} {status}"\n')
+    rows = [
+        ("c1", 0, "u", '"GET /a" 200 100', "x"),
+        ("c1", 1, "u", '"GET /b" 200 250', "x"),
+        ("c1", 2, "u", '"POST /a" 500 7', "x"),
+    ]
+    df = spark.createDataFrame(
+        [(*r, None) for r in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    for engine in ("udf", "sql"):
+        sums = {(r["count_key"]): (r["total"], r["n"]) for r in
+                stages.keyed_sums(
+                    stages.parse_match(df, c, engine=engine)).collect()}
+        assert sums == {"GET 200": (350.0, 2), "POST 500": (7.0, 1)}, engine
+
+
 # -- engines ----------------------------------------------------------------
 
 @pytest.mark.parametrize("engine", ["udf", "pandas_udf", "sql"])
