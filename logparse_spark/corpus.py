@@ -44,6 +44,68 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"          # spark
 _WORDS_DUCK = "regexp_extract_all(lower(text), '[a-z0-9]+')"        # duckdb
 
+# train/val/test weights for the deterministic hash split
+SPLIT_WEIGHTS = (("train", 0.90), ("val", 0.05), ("test", 0.05))
+
+
+def _split_hex_bounds(weights=SPLIT_WEIGHTS) -> list[tuple[str, str]]:
+    """(name, exclusive upper bound as 8 lowercase hex chars) per
+    split, cumulative. md5's hex digest is uniform, so comparing its
+    first 8 chars LEXICOGRAPHICALLY against these bounds partitions
+    keys in the requested proportions — identically in every engine
+    that has md5 (Spark, DuckDB), with no integer-parse dialect
+    differences."""
+    total = sum(w for _, w in weights)
+    out, cum = [], 0.0
+    for name, w in weights:
+        cum += w / total
+        hi = min(int(cum * 16**8), 16**8 - 1) if cum < 1.0 else 16**8
+        out.append((name, format(hi, "08x") if hi < 16**8 else "g" * 8))
+    return out
+
+
+def split_column(key_col: str = "doc_id", weights=SPLIT_WEIGHTS):
+    """Deterministic train/val/test assignment from a content-stable
+    key: ``substr(md5(key), 1, 8)`` against cumulative hex bounds.
+
+    Why not rand(seed)/randomSplit: their output depends on partition
+    layout and row order, so the same document can change split
+    between runs, cluster sizes, or after a compaction — leakage
+    between train and eval. A key hash is reproducible everywhere,
+    append-stable (new docs don't reshuffle old assignments), and
+    portable to any other engine touching the same corpus."""
+    probe = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    expr = None
+    for name, hi in _split_hex_bounds(weights):
+        cond = probe < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr
+
+
+def split_case_sql(key_col: str = "doc_id", weights=SPLIT_WEIGHTS) -> str:
+    """DuckDB twin of :func:`split_column` (md5/substr agree)."""
+    probe = f"substr(md5(CAST({key_col} AS VARCHAR)), 1, 8)"
+    branches = " ".join(
+        f"WHEN {probe} < '{hi}' THEN '{name}'"
+        for name, hi in _split_hex_bounds(weights))
+    return f"CASE {branches} END"
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str = "doc_id",
+                salt: str = "") -> DataFrame:
+    """Deterministic reproducible sampling: keep rows whose salted key
+    hash falls below ``fraction`` of the hex space. Same contract as
+    split_column — stable under repartition/append/engine change,
+    which `df.sample()` is not; ``salt`` yields independent samples
+    from the same corpus."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    hi = min(int(fraction * 16**8), 16**8 - 1) if fraction < 1.0 else 16**8
+    bound = format(hi, "08x") if hi < 16**8 else "g" * 8
+    probe = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8)
+    return df.filter(probe < F.lit(bound))
+
 
 def _with_words(df: DataFrame) -> DataFrame:
     return df.withColumn("ws", F.expr(_WORDS))
@@ -1123,7 +1185,8 @@ def corpus_oracles() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[^a-z0-9 ]+')) AS n_other,
                    len(regexp_extract_all(lower(text), '[a-z]+'))
                    + len(regexp_extract_all(text, '[0-9]+'))
-                   + len(regexp_extract_all(lower(text), '[^a-z0-9 ]+')) AS n_bpe
+                   + len(regexp_extract_all(lower(text), '[^a-z0-9 ]+')) AS n_bpe,
+                   {split_case_sql()} AS split
             FROM ({words_cte})
         """,
         "lang_id": f"""
@@ -1371,6 +1434,9 @@ def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_num.cast("long").alias("n_num"),
         n_other.cast("long").alias("n_other"),
         (n_alpha + n_num + n_other).cast("long").alias("n_bpe"),
+        # deterministic hash split rides the same feature table — the
+        # column a curation pipeline partitions its exports by
+        split_column().alias("split"),
     )
 
 
