@@ -46,6 +46,9 @@ def main() -> None:
     c = sub.add_parser("compact")
     c.add_argument("--max-records-per-file", type=int, default=None)
     c.add_argument("--min-files-per-partition", type=int, default=2)
+    c.add_argument("--sort-order", choices=["key", "time"], default="key",
+                   help="file clustering: key = conv-contiguous (point "
+                        "lookups), time = time-contiguous (range reads)")
     v = sub.add_parser("vacuum")
     v.add_argument("--min-age-minutes", type=float, default=60.0)
     lk = sub.add_parser("lookup")
@@ -99,7 +102,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     try:
         if args.op == "compact":
-            kwargs = {"min_files_per_partition": args.min_files_per_partition}
+            kwargs = {"min_files_per_partition": args.min_files_per_partition,
+                      "sort_order": args.sort_order}
             if args.max_records_per_file is not None:
                 kwargs["max_records_per_file"] = args.max_records_per_file
             print(json.dumps(ss.compact(spark, **kwargs)))

@@ -1355,8 +1355,14 @@ class SinkSet:
     # -- maintenance (Iceberg rewrite_data_files / expire_snapshots
     #    stand-ins) ------------------------------------------------------
 
+    _SORT_ORDERS = {
+        "key": ("conv_id", "turn_idx"),
+        "time": ("ts", "conv_id", "turn_idx"),
+    }
+
     def _compaction_plan(self, spark: SparkSession,
-                         by_run: dict[str, list[int]]) -> DataFrame:
+                         by_run: dict[str, list[int]],
+                         sort_order: str = "key") -> DataFrame:
         """The compaction read+rewrite dataflow (shared with the plan
         test so the asserted shape IS the executed shape): committed
         buckets of the given runs, ONE exchange hash-partitioned on
@@ -1366,12 +1372,14 @@ class SinkSet:
         return (
             self._read_committed(spark, by_run)
             .repartition(max(1, n_buckets), "bucket")
-            .sortWithinPartitions("bucket", "sink_id", "conv_id", "turn_idx")
+            .sortWithinPartitions(
+                "bucket", "sink_id", *self._SORT_ORDERS[sort_order])
         )
 
     def compact(self, spark: SparkSession,
                 min_files_per_partition: int = 2,
-                max_records_per_file: int | None = None) -> dict:
+                max_records_per_file: int | None = None,
+                sort_order: str = "key") -> dict:
         """Rewrite committed buckets' small files into one file per
         (bucket, sink_id) and atomically repoint the manifest — the
         parquet stand-in for Iceberg's ``rewrite_data_files`` +
@@ -1386,6 +1394,25 @@ class SinkSet:
         re-hash of conv_id needed), each task writes exactly its
         bucket's partitions, sorted by (sink_id, conv_id, turn_idx) so
         routed-row order is preserved within every sink.
+
+        ``sort_order`` picks the clustering — the Iceberg
+        ``WRITE ORDERED BY`` decision, made per table by dominant read
+        pattern: "key" (default) rolls conv-contiguous files (narrow
+        conv_id bounds: point lookups plan 1-2 files; ts bounds only
+        as narrow as conv-id/time correlation), "time" rolls
+        time-contiguous files (narrow ts bounds: read_time_range
+        skips files even for time-RANDOM conv ids; conv lookups then
+        lean on bucket pruning + parquet row-group stats alone).
+        "time" keeps a conversation's relative turn order whenever its
+        event time is non-decreasing in turn_idx (ties break by
+        (conv_id, turn_idx)); readers that need strict order sort
+        explicitly, as they already must across files. The chosen
+        order is recorded in the snapshot history. The
+        already-at-target no-op check is file-count-based, so
+        switching sort_order alone does not rewrite partitions whose
+        file count already matches — change the file target too, or
+        rewrite via rebucket, when re-clustering an already-compacted
+        table.
 
         ``max_records_per_file`` is the file-size target (Iceberg
         rewrite_data_files' target-file-size-bytes analogue): at
@@ -1426,6 +1453,10 @@ class SinkSet:
                 "branch use the native CALL catalog.system.rewrite_data_files"
                 "(table) procedure — the table format owns its file layout"
             )
+        if sort_order not in self._SORT_ORDERS:
+            raise ValueError(
+                f"sort_order must be one of {sorted(self._SORT_ORDERS)}: "
+                f"{sort_order!r}")
         manifest = load_manifest(self.out_dir)
         if not manifest["buckets"]:
             raise FileNotFoundError(f"no committed buckets under {self.out_dir}")
@@ -1469,7 +1500,8 @@ class SinkSet:
             by_run.setdefault(run_id, []).append(b)
         # one task per bucket -> one sorted file per (bucket, sink_id),
         # rolled every max_records_per_file rows when a target is set
-        writer = self._compaction_plan(spark, by_run).write.mode("append")
+        writer = self._compaction_plan(
+            spark, by_run, sort_order=sort_order).write.mode("append")
         if max_records_per_file is not None:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
         writer.partitionBy("bucket", "sink_id").parquet(compactor._run_dir())
@@ -1485,7 +1517,9 @@ class SinkSet:
                     f"committed {old!r}, rewrite produced {got!r} — "
                     f"manifest left untouched"
                 )
-        compactor.commit(new_lineage, extra={"compaction_of": sorted(by_run)},
+        compactor.commit(new_lineage,
+                         extra={"compaction_of": sorted(by_run),
+                                "sort_order": sort_order},
                          expected_runs=todo)
         files_after = files_before
         for b in todo:

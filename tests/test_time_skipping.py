@@ -122,6 +122,56 @@ def test_missing_sidecar_degrades_to_full_plan(spark, ulid_table, tmp_path):
     assert {c[:2] for c, *_ in got} == {"02", "03"}
 
 
+def test_time_sorted_compaction_enables_skipping_for_random_ids(spark, tmp_path):
+    """compact(sort_order='time') — the WRITE ORDERED BY lever: with
+    time-RANDOM conv ids (where key-order compaction gives no ts
+    clustering at all), time-order compaction rolls time-contiguous
+    files and the range read skips, runtime-numFiles-proved. Result
+    equality is asserted against the pre-compaction truth."""
+    from conftest import scan_num_files
+
+    out = str(tmp_path / "timesorted")
+    rows = [(f"conv-{(i * 37) % 100:03d}-{i:03d}", t, "user",
+             dt.datetime(2026, 3, 1 + (i * 13 + t) % DAYS, 8, i % 60, t), "chat")
+            for i in range(100) for t in range(8)]
+    df = (spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, "
+                  "ts timestamp_ntz, sink_id string")
+          .withColumn("bucket",
+                      F.pmod(F.xxhash64("conv_id"), F.lit(N_BUCKETS))
+                      .cast("int"))
+          .repartition(8))
+    ss = SinkSet(out_dir=out)
+    ss.commit(ss.write_classified(df), n_buckets=N_BUCKETS)
+    before = _collect(SinkSet(out_dir=out)._read_committed(spark))
+
+    res = SinkSet(out_dir=out).compact(
+        spark, min_files_per_partition=1, max_records_per_file=50,
+        sort_order="time")
+    assert res["rewritten_buckets"]
+    ss2 = SinkSet(out_dir=out)
+    assert ss2.snapshots()[-1]["sort_order"] == "time"
+    # compaction preserved the table exactly
+    assert _collect(ss2._read_committed(spark)) == before
+
+    lo, hi = dt.datetime(2026, 3, 2), dt.datetime(2026, 3, 3)
+    got = _collect(ss2.read_time_range(spark, lo, hi))
+    want = [r for r in before if lo <= r[3] < hi]
+    assert got == want and got
+    total = scan_num_files(ss2._read_committed(spark), out)
+    ranged = scan_num_files(ss2.read_time_range(spark, lo, hi), out)
+    assert ranged < total / 2, (ranged, total)
+
+
+def test_compact_rejects_unknown_sort_order(spark, ulid_table, tmp_path):
+    import shutil
+
+    out = str(tmp_path / "badorder")
+    shutil.copytree(ulid_table, out)
+    with pytest.raises(ValueError):
+        SinkSet(out_dir=out).compact(spark, sort_order="zorder")
+
+
 def test_uncompacted_salted_table_still_correct(spark, tmp_path):
     """Pre-compaction (salt-sharded, time-random files): ranges stay
     exact even when no file can be skipped."""
