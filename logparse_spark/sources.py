@@ -36,7 +36,8 @@ JSONL_READ_SCHEMA = (
 )
 
 
-def read_raw_jsonl(spark: SparkSession, path: str) -> DataFrame:
+def read_raw_jsonl(spark: SparkSession, path: str,
+                   keep_corrupt: bool = False) -> DataFrame:
     """Newline-delimited-JSON transcripts -> the canonical frame.
 
     Schema is EXPLICIT (never inferred — inference is a full extra
@@ -44,8 +45,25 @@ def read_raw_jsonl(spark: SparkSession, path: str) -> DataFrame:
     timestamp arrives as a string with exactly 6 fractional digits and
     parses via to_timestamp_ntz (wall clock, tz-independent, matching
     the parquet TIMESTAMP_NTZ shape). Whole-stage codegen throughout:
-    Jackson JSON parse + timestamp parse are JVM-side expressions."""
-    df = spark.read.schema(JSONL_READ_SCHEMA).json(path)
+    Jackson JSON parse + timestamp parse are JVM-side expressions.
+
+    ``keep_corrupt=True`` adds a ``_corrupt`` column (PERMISSIVE mode's
+    columnNameOfCorruptRecord): null for parsed rows, the raw line for
+    malformed ones — the dead-letter channel a production ingest needs
+    (route ``_corrupt IS NOT NULL`` to an errors sink instead of
+    silently landing all-null rows, which is what PERMISSIVE does when
+    nobody asks). Default stays the plain frame: the extra column is
+    only materialized when requested."""
+    if keep_corrupt:
+        df = (
+            spark.read
+            .schema(JSONL_READ_SCHEMA + ", _corrupt string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .json(path)
+        )
+    else:
+        df = spark.read.schema(JSONL_READ_SCHEMA).json(path)
     return df.withColumn(
         "ts", F.to_timestamp_ntz("ts", F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS"))
     )

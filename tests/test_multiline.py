@@ -140,6 +140,88 @@ def test_multiline_fixture_deterministic():
     assert not a[0].startswith(("    ", "\t", "--"))
 
 
+def _reference_assemble(lines):
+    """20-line pure-Python model of the multiline rule: every line that
+    matches the header regex starts a record; every other line joins
+    the last header; leading orphans drop."""
+    import re
+
+    hdr = re.compile(sources.SYSLOG_RE)
+    recs, cur = [], None
+    for ln in lines:
+        if hdr.match(ln):
+            if cur is not None:
+                recs.append(cur)
+            cur = [ln]
+        elif cur is not None:
+            cur.append(ln)
+    if cur is not None:
+        recs.append(cur)
+    return ["\n".join(r) for r in recs]
+
+
+def test_assembly_matches_reference_model_property(spark, tmp_path):
+    """Property test: random header/continuation/junk interleavings,
+    read at an adversarially small split size, must equal the
+    sequential pure-Python reference exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    header = st.builds(
+        lambda h, p, m: f"Jan 1{h % 9} 0{h % 10}:00:0{h % 10} host-{h % 4} prog[{p}]: {m}",
+        st.integers(0, 8), st.integers(100, 999),
+        st.text(alphabet="abcdef msg123", min_size=1, max_size=20),
+    )
+    cont = st.sampled_from([
+        "    at a.b.c(D.java:1)", "\twrapped detail", "-- junk --",
+        "not a header either", "  x",
+    ])
+    lines_strategy = st.lists(st.one_of(header, cont), min_size=1, max_size=40)
+
+    case_n = [0]
+
+    @settings(max_examples=12, deadline=None)
+    @given(lines=lines_strategy)
+    def check(lines):
+        case_n[0] += 1
+        p = tmp_path / f"prop_{case_n[0]}.log"
+        p.write_text("\n".join(lines) + "\n")
+        want = sorted(_reference_assemble(lines))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", 256)
+        spark.conf.set("spark.sql.files.openCostInBytes", 0)
+        try:
+            got = sorted(
+                r["raw"] for r in
+                sources.assemble_multiline(spark.read.text(str(p))).collect())
+        finally:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+            spark.conf.unset("spark.sql.files.openCostInBytes")
+        assert got == want
+
+    check()
+
+
+def test_jsonl_corrupt_channel(spark, tmp_path):
+    """keep_corrupt=True surfaces malformed lines in _corrupt (the
+    dead-letter route) instead of landing silent all-null rows."""
+    good = ('{"conv_id": "c1", "turn_idx": 0, "role": "user", '
+            '"text": "hi", "tool": null, '
+            '"ts": "2026-01-02 03:04:05.000001"}')
+    p = tmp_path / "mixed.jsonl"
+    p.write_text("\n".join([good, "{not json", good.replace("c1", "c2"),
+                            '["wrong", "shape"]']) + "\n")
+    df = sources.read_raw_jsonl(spark, str(p), keep_corrupt=True).cache()
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    assert bad.count() == 2
+    assert {r["_corrupt"] for r in bad.collect()} == {
+        "{not json", '["wrong", "shape"]'}
+    ok = df.filter(F.col("_corrupt").isNull())
+    assert {r["conv_id"] for r in ok.collect()} == {"c1", "c2"}
+    assert ok.filter(F.col("ts").isNull()).count() == 0
+    df.unpersist()
+    # default path: no extra column
+    assert "_corrupt" not in sources.read_raw_jsonl(spark, str(p)).columns
+
+
 def test_multiline_through_pipeline(spark):
     """Assembled records flow through the standard dispatch: rules
     match on the HEADER line content (search semantics, '.' stops at
