@@ -26,6 +26,13 @@ import sys
 def main() -> None:
     p = argparse.ArgumentParser(description="logparse_spark pipeline job")
     p.add_argument("--source", required=True, help="transcripts parquet path")
+    p.add_argument("--source-format",
+                   choices=["parquet", "jsonl", "syslog", "multiline"],
+                   default="parquet",
+                   help="raw-ingest mode: parse jsonl / syslog text / "
+                        "multiline syslog (continuation-line records) "
+                        "straight into the pipeline; raw modes need an "
+                        "explicit --buckets and run best with --groups 1")
     p.add_argument("--out", required=True, help="sink output root")
     p.add_argument("--rules", action="append", default=None,
                    help="rule file; repeatable — files compose in order "
@@ -109,6 +116,7 @@ def main() -> None:
         sink_table=args.table,
         observe_cardinality=args.observe_cardinality,
         audit=gate,
+        source_format=args.source_format,
     )
     cardinality = None
     if args.sink_cardinality:

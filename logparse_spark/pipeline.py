@@ -87,6 +87,7 @@ def run(
     fail_after_groups: int | None = None,  # test hook: simulate a crash
     observe_cardinality: bool = False,  # opt-in write-time HLL (see sinks.py)
     audit: "Callable[[DataFrame], None] | None" = None,  # WAP gate (audits.py)
+    source_format: str = "parquet",  # or raw ingest: jsonl|syslog|multiline
 ) -> RunResult:
     if audit is not None and sink_format != "parquet":
         raise ValueError(
@@ -94,8 +95,34 @@ def run(
             "read back pre-commit); on real Iceberg use a WAP branch"
         )
     compiled = load_rules(rules_path)
-    stages.tune_scan_splits(spark, source_path)
-    df = stages.read_transcripts(spark, source_path)
+    if source_format == "parquet":
+        stages.tune_scan_splits(spark, source_path)
+        df = stages.read_transcripts(spark, source_path)
+    else:
+        # raw-ingest mode: the compat sources land the canonical frame
+        # (turn_idx derived per host; one inherent window shuffle).
+        # Bucket pruning cannot push into a text scan, so raw ingest is
+        # best run with groups=1 (one commit group — each extra group
+        # re-reads the raw input); 'auto' sizing needs parquet
+        # metadata, so buckets/hot_threshold must be explicit here.
+        from . import sources
+
+        readers = {"jsonl": sources.read_raw_jsonl,
+                   "syslog": sources.read_raw_syslog,
+                   "multiline": sources.read_raw_multiline}
+        if source_format not in readers:
+            raise ValueError(
+                f"source_format must be one of "
+                f"{['parquet', *readers]}: {source_format!r}")
+        df = readers[source_format](spark, source_path)
+        if buckets == "auto" and load_manifest(out_dir).get("n_buckets") is None:
+            raise ValueError(
+                "buckets='auto' sizes from parquet metadata; pass an "
+                "explicit count for raw-text ingest (first run)")
+        if hot_threshold == "auto":
+            raise ValueError(
+                "hot_threshold='auto' sizes from parquet metadata; pass "
+                "an explicit count for raw-text ingest")
 
     # resolve the bucket count BEFORE looking at committed state:
     # bucket ids are only meaningful modulo the count that produced

@@ -140,6 +140,33 @@ def test_multiline_fixture_deterministic():
     assert not a[0].startswith(("    ", "\t", "--"))
 
 
+def test_raw_ingest_through_pipeline_run(spark, tmp_path):
+    """source_format='multiline': raw text straight through the full
+    pipeline (parse -> enrich-less -> bucket -> fan-out write ->
+    commit) in one call — the raw-ingest ship path."""
+    from logparse_spark import pipeline
+    from logparse_spark.fixtures.gen_multiline import ensure_multiline_fixture
+    from logparse_spark.sinks import SinkSet
+
+    path = ensure_multiline_fixture("0.001")
+    out = str(tmp_path / "raw_out")
+    res = pipeline.run(
+        spark, source_path=path, out_dir=out,
+        rules_path="/root/repo/rules/default.rules",
+        buckets=8, groups=1, source_format="multiline")
+    n_src = sources.read_raw_multiline(spark, path).count()
+    assert res.total_rows_processed == n_src
+    lineage = SinkSet(out_dir=out).lineage_df(spark)
+    assert lineage.agg(F.sum("rows")).first()[0] == n_src
+    # guards: auto sizing needs parquet metadata
+    with pytest.raises(ValueError, match="auto"):
+        pipeline.run(spark, source_path=path, out_dir=str(tmp_path / "x"),
+                     buckets="auto", source_format="multiline")
+    with pytest.raises(ValueError, match="source_format"):
+        pipeline.run(spark, source_path=path, out_dir=str(tmp_path / "y"),
+                     buckets=8, source_format="csv")
+
+
 def _reference_assemble(lines):
     """20-line pure-Python model of the multiline rule: every line that
     matches the header regex starts a record; every other line joins
