@@ -140,6 +140,28 @@ def test_multiline_fixture_deterministic():
     assert not a[0].startswith(("    ", "\t", "--"))
 
 
+def test_multi_file_glob_ingest(spark, tmp_path):
+    """LogParse takes several log files on the CLI; here a glob (or
+    directory) does the same — per-FILE assembly (records never span
+    files), per-host ordering across the union."""
+    (tmp_path / "logs").mkdir()
+    _write(tmp_path / "logs", "a.log", [
+        HDRS[0], "    frame one",
+    ])
+    _write(tmp_path / "logs", "b.log", [
+        "Jan 10 00:00:05 web-01 sshd[7]: second file event",
+        "\tits continuation",
+    ])
+    out = sources.read_raw_multiline(spark, str(tmp_path / "logs" / "*.log"))
+    rows = {r.turn_idx: r.text for r in
+            out.filter(F.col("conv_id") == "web-01").collect()}
+    # ts orders across files; assembly stayed within each file
+    assert rows == {
+        0: "login failed for user alice from 10.0.1.2\n    frame one",
+        1: "second file event\n\tits continuation",
+    }
+
+
 def test_raw_ingest_through_pipeline_run(spark, tmp_path):
     """source_format='multiline': raw text straight through the full
     pipeline (parse -> enrich-less -> bucket -> fan-out write ->
