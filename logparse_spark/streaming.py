@@ -392,3 +392,35 @@ def windowed_sink_counts(
             "n",
         )
     )
+
+
+def windowed_keyed_sums(
+    df_stream: DataFrame,
+    compiled: CompiledRules,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
+) -> DataFrame:
+    """Watermarked per-window SUM-action totals — the streaming twin of
+    ``stages.keyed_sums`` (a sum rule's routed payload IS its numeric
+    value, so the stateful agg is a plain windowed hash aggregate:
+    bytes-per-status per hour, live). Same SQL engine + UTC-aligned
+    event time + NTZ round trip as :func:`windowed_sink_counts`."""
+    spark = df_stream.sparkSession
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    cdf = stages.parse_match(df_stream, compiled, engine="sql")
+    return (
+        cdf.filter(F.col("action") == "sum")
+        .withColumn("ts_evt", F.to_utc_timestamp(F.col("ts").cast("timestamp"), tz))
+        .withWatermark("ts_evt", watermark)
+        .groupBy(F.window("ts_evt", window, slide or window).alias("win"),
+                 "rule_name", "count_key")
+        .agg(F.sum(F.col("rendered").cast("double")).alias("total"),
+             F.count(F.lit(1)).alias("n"))
+        .select(
+            F.from_utc_timestamp(F.col("win.start"), tz)
+            .cast("timestamp_ntz")
+            .alias("win_start"),
+            "rule_name", "count_key", "total", "n",
+        )
+    )

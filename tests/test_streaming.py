@@ -81,6 +81,37 @@ def test_windowed_counts_stateful(spark, stream_src, tmp_path):
     assert got == want
 
 
+def test_windowed_keyed_sums_match_batch(spark, stream_src, tmp_path):
+    """Streaming twin of keyed_sums: windowed SUM-action totals over
+    the stream equal the batch groupBy(date_trunc(hour), rule, key)
+    sums exactly."""
+    compiled = load_rules("/root/repo/rules/metrics.rules")
+    sdf = streaming.stream_transcripts(spark, stream_src)
+    agg = streaming.windowed_keyed_sums(sdf, compiled, window="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("win_sums")
+        .option("checkpointLocation", str(tmp_path / "cp_sums"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(str(r["win_start"]), r["rule_name"], r["count_key"]):
+           (r["total"], r["n"])
+           for r in spark.sql("SELECT * FROM win_sums").collect()}
+
+    batch = stages.parse_match(
+        spark.read.parquet(stream_src), compiled, engine="sql")
+    want = {(str(r["w"]), r["rule_name"], r["count_key"]):
+            (r["total"], r["n"])
+            for r in batch.filter(F.col("action") == "sum")
+            .groupBy(F.date_trunc("hour", "ts").alias("w"),
+                     "rule_name", "count_key")
+            .agg(F.sum(F.col("rendered").cast("double")).alias("total"),
+                 F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want and got
+
+
 def test_foreachbatch_retry_idempotent(spark, stream_src, tmp_path):
     """foreachBatch is at-least-once: a batch can re-run with the same
     batch_id after a crash between sink write and checkpoint commit.
