@@ -163,6 +163,29 @@ def test_time_sorted_compaction_enables_skipping_for_random_ids(spark, tmp_path)
     assert ranged < total / 2, (ranged, total)
 
 
+def test_time_range_time_travel_across_delete(spark, ulid_table, tmp_path):
+    """as_of: a range read time-traveled to the pre-delete snapshot
+    still sees the deleted conversation's rows; the live read does
+    not. (The audit read for 'what was in that window before the
+    GDPR delete'.)"""
+    import shutil
+
+    out = str(tmp_path / "tt")
+    shutil.copytree(ulid_table, out)
+    ss = SinkSet(out_dir=out)
+    lo, hi = dt.datetime(2026, 3, 3), dt.datetime(2026, 3, 4)
+    before = _collect(ss.read_time_range(spark, lo, hi))
+    victim = before[0][0]
+    pre_snapshot = len(ss.snapshots()) - 1
+    ss.delete_conversations(spark, [victim])
+
+    live = _collect(SinkSet(out_dir=out).read_time_range(spark, lo, hi))
+    assert all(c != victim for c, *_ in live)
+    travel = _collect(SinkSet(out_dir=out).read_time_range(
+        spark, lo, hi, as_of=pre_snapshot))
+    assert travel == before
+
+
 def test_compact_rejects_unknown_sort_order(spark, ulid_table, tmp_path):
     import shutil
 
