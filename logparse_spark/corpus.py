@@ -909,6 +909,64 @@ def ann_search(
     )
 
 
+def kmeans_fit_assign(emb: DataFrame, k: int = 8, n_iter: int = 5,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> tuple[DataFrame, list]:
+    """Distributed Lloyd k-means over an embedding column — the
+    clustering primitive of semantic curation pipelines (cluster, then
+    dedup/subsample within clusters, SemDeDup-style).
+
+    Iterative-algorithm shape done Spark-first: centroids are the ONLY
+    driver-side state (k x dim floats). Each iteration is one scan —
+    assignment is a pure codegen expression (k per-centroid squared-L2
+    aggregates over zip_with, argmin via array_position; no Python, no
+    UDF) and the update is posexplode -> groupBy(cluster, dim) ->
+    avg, whose map-side partial aggregation bounds the shuffle at
+    k x dim rows PER TASK regardless of input size. No lineage growth
+    trap: each iteration re-derives from the source frame with new
+    centroid literals rather than stacking transformations on the
+    previous iteration's plan.
+
+    Deterministic and engine-portable by construction: init picks the
+    k rows with the smallest md5(id) (content-stable, same everywhere
+    — rand() init would change with partitioning), ties in argmin
+    break to the lowest centroid index, and empty clusters keep their
+    previous centroid. Returns (assigned frame with a ``cluster``
+    column, final centroids as lists)."""
+    if k < 1 or n_iter < 0:
+        raise ValueError(f"bad k={k} / n_iter={n_iter}")
+    probe = F.md5(F.col(id_col).cast("string"))
+    cents = [list(map(float, r[vec_col]))
+             for r in emb.orderBy(probe, id_col).limit(k).collect()]
+    if len(cents) < k:
+        raise ValueError(f"k={k} but only {len(cents)} rows")
+
+    def dist_to(c: list) -> "F.Column":
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    def assign(frame: DataFrame) -> DataFrame:
+        arr = F.array(*[dist_to(c) for c in cents])
+        return frame.withColumn(
+            "cluster",
+            (F.array_position(arr, F.array_min(arr)) - 1).cast("int"))
+
+    for _ in range(n_iter):
+        upd = (
+            assign(emb)
+            .select("cluster", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cluster", "pos").agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = {c: list(old) for c, old in enumerate(cents)}
+        for r in upd:
+            new[r["cluster"]][r["pos"]] = float(r["m"])
+        cents = [new[c] for c in range(k)]
+    return assign(emb), cents
+
+
 def q_users_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join breadth: per-(user, day) activity on days with no
     purchase. The purchase-day set is broadcast (distinct keys, small

@@ -1,0 +1,74 @@
+"""Distributed Lloyd k-means (corpus.kmeans_fit_assign): exact
+agreement with a sequential numpy reference under the same
+deterministic init, plus the partitioning-stability and plan-shape
+properties the Spark-first design claims."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from logparse_spark import corpus
+
+EMB = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+def _numpy_reference(ids, vecs, k, n_iter):
+    order = sorted(range(len(ids)),
+                   key=lambda i: (hashlib.md5(str(ids[i]).encode())
+                                  .hexdigest(), str(ids[i])))
+    cents = np.stack([vecs[i] for i in order[:k]]).astype(np.float64)
+    for _ in range(n_iter):
+        d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)  # ties -> lowest index, same as Spark
+        for c in range(k):
+            if (a == c).any():
+                cents[c] = vecs[a == c].mean(axis=0)
+    d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1), cents
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB)
+
+
+def test_matches_numpy_reference(spark, emb):
+    k, n_iter = 6, 4
+    assigned, cents = corpus.kmeans_fit_assign(emb, k=k, n_iter=n_iter)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+
+    rows = emb.orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    vecs = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    ref_a, ref_c = _numpy_reference(ids, vecs, k, n_iter)
+    want = dict(zip(ids, (int(x) for x in ref_a)))
+    assert got == want
+    assert np.allclose(np.array(cents), ref_c, atol=1e-9)
+    # clusters are non-trivial on this fixture
+    assert len(set(got.values())) > 1
+
+
+def test_stable_under_partitioning(spark, emb):
+    a1, c1 = corpus.kmeans_fit_assign(emb.repartition(1), k=4, n_iter=2)
+    a2, c2 = corpus.kmeans_fit_assign(emb.repartition(11), k=4, n_iter=2)
+    assert {tuple(r) for r in a1.select("vec_id", "cluster").collect()} == \
+           {tuple(r) for r in a2.select("vec_id", "cluster").collect()}
+    assert np.allclose(np.array(c1), np.array(c2))
+
+
+def test_assignment_plan_is_jvm_only(spark, emb):
+    assigned, _ = corpus.kmeans_fit_assign(emb, k=3, n_iter=1)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_bad_params(spark, emb):
+    with pytest.raises(ValueError):
+        corpus.kmeans_fit_assign(emb, k=0)
+    with pytest.raises(ValueError):
+        corpus.kmeans_fit_assign(emb.limit(2), k=5)
