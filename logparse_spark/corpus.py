@@ -967,6 +967,52 @@ def kmeans_fit_assign(emb: DataFrame, k: int = 8, n_iter: int = 5,
     return assign(emb), cents
 
 
+def semantic_dedup(emb: DataFrame, k: int = 16, n_iter: int = 3,
+                   threshold: float = 0.9,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public method): k-means-cluster the embeddings, find cosine
+    near-duplicate PAIRS only within each cluster, contract them to
+    duplicate groups, keep the minimum id per group.
+
+    The composition is the scale story: clustering turns the O(n^2)
+    all-pairs similarity into sum(c_i^2) within-cluster work — at
+    100 TB you pick k so clusters stay bounded (n/k docs each), the
+    within-cluster self-join shuffles ONCE on the cluster key, and
+    groups contract via the existing O(log n)-round alternating-star
+    connected components (duplicate chains that cross pair-threshold
+    transitivity collapse correctly — naive keep-first scans do not).
+    Known SemDeDup caveat, inherited deliberately: near-dups assigned
+    to different clusters are not compared (recall traded for the
+    quadratic bound, tunable via k).
+
+    Returns (id_col, keep) — keep=false rows are semantic duplicates
+    of a kept representative."""
+    assigned, _ = kmeans_fit_assign(emb, k=k, n_iter=n_iter,
+                                    vec_col=vec_col, id_col=id_col)
+    a = assigned.select(F.col(id_col).alias("doc_a"), "cluster",
+                        F.col(vec_col).alias("va"))
+    b = assigned.select(F.col(id_col).alias("doc_b"), "cluster",
+                        F.col(vec_col).alias("vb"))
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(_cosine_col("va", "vb") >= F.lit(float(threshold)))
+        .select("doc_a", "doc_b")
+    )
+    groups = connected_components(pairs)  # (doc_id, group_root)
+    return (
+        emb.select(id_col)
+        .join(groups.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            (F.col("group_root").isNull()
+             | (F.col("group_root") == F.col(id_col))).alias("keep"),
+        )
+    )
+
+
 def q_users_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join breadth: per-(user, day) activity on days with no
     purchase. The purchase-day set is broadcast (distinct keys, small

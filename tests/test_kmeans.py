@@ -67,6 +67,39 @@ def test_assignment_plan_is_jvm_only(spark, emb):
     assert "ArrowEvalPython" not in plan
 
 
+def test_semantic_dedup_synthetic(spark):
+    """Planted near-duplicate sets (same direction, tiny jitter) in
+    well-separated random directions: semantic_dedup keeps exactly one
+    representative (the min id) per planted set, keeps singletons, and
+    a transitively-chained set collapses to ONE group."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(10, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    planted = {}
+    for g in range(10):
+        n_dup = 3 if g < 4 else 1
+        members = []
+        for j in range(n_dup):
+            v = base[g] + rng.normal(scale=0.003, size=64) * j
+            rows.append((vid, [float(x) for x in v]))
+            members.append(vid)
+            vid += 1
+        planted[g] = members
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["keep"] for r in
+           corpus.semantic_dedup(emb, k=5, n_iter=3,
+                                 threshold=0.99).collect()}
+    assert set(out) == set(range(vid))
+    for g, members in planted.items():
+        kept = [m for m in members if out[m]]
+        if len(members) == 1:
+            assert kept == members
+        else:
+            assert kept == [min(members)], (g, members, kept)
+
+
 def test_bad_params(spark, emb):
     with pytest.raises(ValueError):
         corpus.kmeans_fit_assign(emb, k=0)
