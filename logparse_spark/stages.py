@@ -277,6 +277,31 @@ def enrich(df: DataFrame, role_dict: DataFrame, tool_dict: DataFrame) -> DataFra
     )
 
 
+def enrich_scd(df: DataFrame, hist: DataFrame,
+               key: str = "role", ts_col: str = "ts") -> DataFrame:
+    """Time-versioned (SCD2) dimension enrichment: each row joins the
+    dimension version IN EFFECT AT ITS EVENT TIME —
+    ``key`` equality plus ``valid_from <= ts < valid_to``.
+
+    Scale shape: the history is still a dimension (versions x keys,
+    tiny), so this stays a BROADCAST HASH join on the equality key
+    with the interval predicate as a post-probe filter — zero
+    shuffle, never a BroadcastNestedLoopJoin (the equi-key anchors
+    the hash join; asserted by tests). Left semantics keep unknown
+    keys (null attributes), like :func:`enrich`. With half-open
+    tiling intervals every matched key hits exactly one version."""
+    cond = (
+        (df[key] == hist[key])
+        & (df[ts_col] >= hist["valid_from"])
+        & (df[ts_col] < hist["valid_to"])
+    )
+    return (
+        df.join(F.broadcast(hist), cond, "left")
+        .drop(hist[key])
+        .drop("valid_from", "valid_to")
+    )
+
+
 def routed(df: DataFrame) -> DataFrame:
     """Routing fan-out input (R1): drop ignore-action rows; the rest
     carry (sink_id, rendered). The filter is a plain Catalyst filter."""
