@@ -1013,6 +1013,37 @@ def semantic_dedup(emb: DataFrame, k: int = 16, n_iter: int = 3,
     )
 
 
+def export_jsonl(df: DataFrame, out_dir: str, n_shards: int = 8,
+                 key_col: str = "doc_id",
+                 order_by: tuple = ("doc_id",),
+                 max_records_per_file: int | None = None) -> dict:
+    """Dataloader-ready sharded JSONL export — the handoff from the
+    curated table to tokenizer/training jobs, deterministic end to
+    end: shard membership is ``pmod(xxhash64(key), n_shards)``
+    (content-stable — re-exports and different cluster sizes place
+    every document in the same shard, so downstream shard-level
+    caching/resume holds), rows within a shard are written in
+    ``order_by`` order, and the layout is ``shard=N/part-*.json``
+    (dynamic partition write; ``max_records_per_file`` rolls files to
+    a dataloader-friendly size). One hash shuffle total. Returns
+    {"rows": n, "shards": n_shards}."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    out = (
+        df.withColumn(
+            "shard",
+            F.pmod(F.xxhash64(F.col(key_col).cast("string")),
+                   F.lit(n_shards)).cast("int"))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", *order_by)
+    )
+    writer = out.write.mode("overwrite")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy("shard").json(out_dir)
+    return {"rows": df.count(), "shards": n_shards}
+
+
 def q_users_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join breadth: per-(user, day) activity on days with no
     purchase. The purchase-day set is broadcast (distinct keys, small
