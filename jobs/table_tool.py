@@ -10,6 +10,8 @@ operator of the routed store actually uses, one spark-submit away:
     ... changes --since K [--until J]      # incremental scan of new commits
     ... timerange --from T0 --to T1        # event-time range read with
                                            # file-level ts-bounds skipping
+    ... mv-refresh --view-dir V            # fold new snapshots into the
+                                           # materialized daily-counts view
     ... cardinality                        # exact per-sink conv counts
     ... delete --conv-id X [--conv-id Y]   # DELETE FROM analogue (COW)
     ... upsert --source P --rules R [--dict-dir D]  # MERGE INTO analogue
@@ -59,6 +61,9 @@ def main() -> None:
     ch = sub.add_parser("changes")
     ch.add_argument("--since", type=int, required=True)
     ch.add_argument("--until", type=int, default=None)
+    mv = sub.add_parser("mv-refresh")
+    mv.add_argument("--view-dir", required=True,
+                    help="materialized sink-daily-counts view root")
     tr = sub.add_parser("timerange")
     tr.add_argument("--from", dest="ts_from", required=True,
                     help="inclusive ISO lower bound, e.g. 2026-03-03")
@@ -123,6 +128,11 @@ def main() -> None:
             df = ss.changes(spark, since=args.since, until=args.until)
             print(json.dumps({"since": args.since, "until": args.until,
                               "rows": df.count()}))
+        elif args.op == "mv-refresh":
+            from logparse_spark.materialized import SinkDailyCounts
+
+            res = SinkDailyCounts(args.out, args.view_dir).refresh(spark)
+            print(json.dumps(res))
         elif args.op == "timerange":
             from pyspark.sql import functions as F
 
