@@ -54,7 +54,9 @@ def main() -> None:
     v = sub.add_parser("vacuum")
     v.add_argument("--min-age-minutes", type=float, default=60.0)
     lk = sub.add_parser("lookup")
-    lk.add_argument("--conv-id", required=True)
+    lk.add_argument("--conv-id", action="append", required=True,
+                    help="repeatable; several ids run one batch "
+                         "bucket-pruned lookup (the GDPR-export read)")
     lk.add_argument("--limit", type=int, default=1000)
     lk.add_argument("--as-of", type=int, default=None,
                     help="snapshot id to time-travel the lookup to")
@@ -117,11 +119,13 @@ def main() -> None:
                 {"removed_runs": ss.vacuum(min_age_minutes=args.min_age_minutes)}
             ))
         elif args.op == "lookup":
-            rows = (
-                ss.read_conversation(spark, args.conv_id, as_of=args.as_of)
-                .orderBy("turn_idx").limit(args.limit).collect()
-            )
-            print(json.dumps({"conv_id": args.conv_id, "n": len(rows),
+            ids = args.conv_id
+            df = (ss.read_conversation(spark, ids[0], as_of=args.as_of)
+                  if len(ids) == 1 else
+                  ss.read_conversations(spark, ids, as_of=args.as_of))
+            rows = (df.orderBy("conv_id", "turn_idx")
+                    .limit(args.limit).collect())
+            print(json.dumps({"conv_id": ids, "n": len(rows),
                               "rows": [r.asDict() for r in rows]},
                              default=str))
         elif args.op == "changes":

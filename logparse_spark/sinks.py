@@ -942,6 +942,76 @@ class SinkSet:
         return self._read_committed(spark, by_run, file_sel=file_sel) \
             .filter(cond)
 
+    def read_conversations(self, spark: SparkSession, conv_ids: list[str],
+                           as_of: int | None = None) -> DataFrame:
+        """Batch point lookup: every routed row of the named
+        conversations, across all sinks — the GDPR-export / audit read
+        ("give me everything these users' conversations produced").
+
+        Pruning mirrors :meth:`read_conversation`, generalized: the
+        ids hash to at most len(ids) buckets (one tiny Spark job, the
+        same JVM expression as the write path), only runs holding
+        those buckets are planned with a ``bucket IN`` partition
+        filter, and within them the ``_filestats.json`` conv bounds
+        drop files whose [min, max] range contains none of the ids —
+        at 1024 buckets an export of a handful of conversations plans
+        ~0.1% of the table's files. ``as_of`` time-travels (hashing
+        under the bucket count in effect at that snapshot)."""
+        ids = sorted(dict.fromkeys(conv_ids))
+        if not ids:
+            raise ValueError("read_conversations needs at least one conv_id")
+        manifest = load_manifest(self.out_dir)
+        by_run = self._buckets_as_of(as_of) if as_of is not None \
+            else self._committed_by_run()
+        nb = self._n_buckets_as_of(as_of) if as_of is not None \
+            else manifest.get("n_buckets")
+        cond = F.col("conv_id").isin(ids)
+        file_sel: dict[str, list[str]] = {}
+        if nb:
+            target = set(
+                r["b"] for r in
+                spark.createDataFrame([(c,) for c in ids], "conv_id string")
+                .select(F.pmod(F.xxhash64("conv_id"), F.lit(int(nb)))
+                        .cast("int").alias("b")).distinct().collect()
+            )
+            hit_runs = {
+                r: sorted(set(bs) & target)
+                for r, bs in by_run.items() if set(bs) & target
+            }
+            by_run = hit_runs or dict(list(by_run.items())[:1])
+            cond = cond & F.col("bucket").isin(sorted(target))
+            bucket_dirs = {f"bucket={b}" for b in target}
+            for run_id, bs in (hit_runs or {}).items():
+                stats = self._file_stats(run_id)
+                if stats is None:
+                    continue
+                base = os.path.join(self.out_dir, "runs", run_id)
+                rels = []
+                for root, _, files in os.walk(base):
+                    rel_root = os.path.relpath(root, base)
+                    if rel_root.split(os.sep)[0] not in bucket_dirs:
+                        continue
+                    rels.extend(
+                        os.path.relpath(os.path.join(root, f), base)
+                        for f in files if f.endswith(".parquet"))
+                keep = [
+                    r for r in rels
+                    if r not in stats
+                    or "conv_min" not in stats[r]
+                    or any(stats[r]["conv_min"] <= c <= stats[r]["conv_max"]
+                           for c in ids)
+                ]
+                if len(keep) < len(rels):
+                    file_sel[run_id] = keep
+            if by_run and all(not file_sel.get(r, [True]) for r in by_run):
+                # every candidate file's bounds exclude every id: keep
+                # one dir-granularity run for schema; the predicates
+                # prune it at planning/row-group level
+                file_sel = {}
+                by_run = dict(list(by_run.items())[:1])
+        return self._read_committed(spark, by_run, file_sel=file_sel) \
+            .filter(cond)
+
     def read_time_range(self, spark: SparkSession, lo, hi,
                         as_of: int | None = None) -> DataFrame:
         """Event-time range read ``lo <= ts < hi`` with FILE-level

@@ -63,6 +63,47 @@ def _full(spark, out):
     return SinkSet(out_dir=out)._read_committed(spark)
 
 
+def test_read_conversations_batch_lookup(spark, table):
+    """Batch point lookup: exact rows for a multi-id set, planned over
+    only the ids' buckets (runtime numFiles), incl. the as_of path."""
+    from conftest import scan_num_files
+
+    ss = SinkSet(out_dir=table)
+    full = _full(spark, table)
+    convs = [
+        r["conv_id"]
+        for r in full.select("conv_id", "bucket").distinct()
+        .groupBy("bucket").agg(F.min("conv_id").alias("conv_id"))
+        .orderBy("bucket").limit(3).collect()
+    ]
+    want = sorted(
+        tuple(r) for r in full.filter(F.col("conv_id").isin(convs))
+        .select("conv_id", "turn_idx", "sink_id").collect())
+    got_df = ss.read_conversations(spark, convs)
+    got = sorted(tuple(r) for r in
+                 got_df.select("conv_id", "turn_idx", "sink_id").collect())
+    assert got == want and got
+    total = scan_num_files(_full(spark, table), table)
+    planned = scan_num_files(
+        ss.read_conversations(spark, convs), table)
+    assert planned < total, (planned, total)
+    # duplicate ids collapse; unknown ids contribute nothing
+    got2 = ss.read_conversations(spark, convs + convs + ["no-such-conv"])
+    assert got2.count() == len(got)
+    with pytest.raises(ValueError):
+        ss.read_conversations(spark, [])
+    # as_of: pre-delete snapshot still serves a deleted conversation
+    pre = len(ss.snapshots()) - 1
+    SinkSet(out_dir=table).delete_conversations(spark, [convs[0]])
+    live = SinkSet(out_dir=table).read_conversations(spark, convs)
+    assert live.filter(F.col("conv_id") == convs[0]).count() == 0
+    travel = SinkSet(out_dir=table).read_conversations(
+        spark, convs, as_of=pre)
+    assert sorted(tuple(r) for r in
+                  travel.select("conv_id", "turn_idx", "sink_id")
+                  .collect()) == want
+
+
 def test_delete_conversations_exact_and_pruned(spark, table):
     from conftest import scan_num_files
 
