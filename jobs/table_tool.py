@@ -4,6 +4,8 @@ operator of the routed store actually uses, one spark-submit away:
 
     spark-submit --py-files "$ZIP" jobs/table_tool.py --out /path/to/table \
         snapshots                          # the commit log (VERSION list)
+    ... stats                              # manifest-only table census
+                                           # (rows/sinks/files/snapshots)
     ... compact [--max-records-per-file N] # rewrite_data_files analogue
     ... vacuum  [--min-age-minutes M]      # expire/remove_orphans analogue
     ... lookup --conv-id X [--as-of K]     # bucket-pruned point read
@@ -45,6 +47,7 @@ def main() -> None:
     sub = p.add_subparsers(dest="op", required=True)
 
     sub.add_parser("snapshots")
+    sub.add_parser("stats")
     c = sub.add_parser("compact")
     c.add_argument("--max-records-per-file", type=int, default=None)
     c.add_argument("--min-files-per-partition", type=int, default=2)
@@ -97,6 +100,33 @@ def main() -> None:
     ss = SinkSet(out_dir=args.out)
     if args.op == "snapshots":
         print(json.dumps({"snapshots": ss.snapshots()}))
+        return
+    if args.op == "stats":
+        # pure manifest + filesystem read (no Spark): the table census
+        # an operator checks first — rows/sinks from committed lineage,
+        # file count from the committed runs' dirs
+        from logparse_spark.sinks import load_manifest
+
+        manifest = load_manifest(args.out)
+        per_sink: dict[str, int] = {}
+        rows = 0
+        runs = set()
+        for b, meta in manifest["buckets"].items():
+            rows += int(meta["rows"])
+            runs.add(meta["run_id"])
+            for s, n in meta.get("sinks", {}).items():
+                per_sink[s] = per_sink.get(s, 0) + int(n)
+        n_files = 0
+        for r in runs:
+            for _, _, fs in os.walk(os.path.join(args.out, "runs", r)):
+                n_files += sum(1 for f in fs if f.endswith(".parquet"))
+        print(json.dumps({
+            "rows": rows, "per_sink": per_sink,
+            "buckets": len(manifest["buckets"]),
+            "n_buckets": manifest.get("n_buckets"),
+            "runs": len(runs), "files": n_files,
+            "snapshots": len(ss.snapshots()),
+        }))
         return
     if args.op == "rollback":
         # pure manifest + parquet-footer operation: no Spark session
