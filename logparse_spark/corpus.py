@@ -1149,7 +1149,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sessionize_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap sessions per user via lag window.
 
     Exact wall-clock microsecond arithmetic: the parquet ts is
@@ -1171,6 +1171,52 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("user_id").agg(
         F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
     )
+
+
+def _funnel_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel view -> click -> purchase: a
+    user reaches step k only via an event STRICTLY AFTER their step
+    k-1 time (the ordered-funnel semantics dashboards mean, not mere
+    per-type existence). One exchange: all three step times are
+    whole-partition window minima over the same user partitioning, so
+    Catalyst plans a single hash exchange with stacked Window nodes —
+    no self-joins, no O(steps) shuffles."""
+    w = Window.partitionBy("user_id")
+    x = _events(spark, sf_dir).withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view",
+                           F.col("ts"))).over(w))
+    x = x.withColumn(
+        "t2", F.min(F.when((F.col("event_type") == "click")
+                           & (F.col("ts") > F.col("t1")),
+                           F.col("ts"))).over(w))
+    x = x.withColumn(
+        "t3", F.min(F.when((F.col("event_type") == "purchase")
+                           & (F.col("ts") > F.col("t2")),
+                           F.col("ts"))).over(w))
+    per_user = x.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"))
+    return per_user.agg(
+        F.count("t1").alias("view"), F.count("t2").alias("click"),
+        F.count("t3").alias("purchase")
+    ).selectExpr(
+        "stack(3, '1_view', view, '2_click', click, "
+        "'3_purchase', purchase) AS (step, n_users)")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization + ordered conversion funnel, tagged union
+    (part='sessions' | 'funnel')."""
+    s = _sessionize_base(spark, sf_dir).select(
+        F.lit("sessions").alias("part"), "user_id", "n_sessions",
+        "n_events", F.lit(None).cast("string").alias("step"),
+        F.lit(None).cast("long").alias("n_users"))
+    f = _funnel_base(spark, sf_dir).select(
+        F.lit("funnel").alias("part"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("n_sessions"),
+        F.lit(None).cast("long").alias("n_events"), "step", "n_users")
+    return s.unionByName(f)
 
 
 # ---------------------------------------------------------------------------
@@ -1489,12 +1535,34 @@ def corpus_oracles() -> dict[str, str]:
                      lag(epoch_us(ts)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id) AS pus
               FROM events
-            )
-            SELECT user_id,
-                   CAST(sum(CASE WHEN pus IS NULL OR us - pus > 1800000000
-                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
-                   count(*) AS n_events
-            FROM x GROUP BY user_id
+            ),
+            sess AS (
+              SELECT user_id,
+                     CAST(sum(CASE WHEN pus IS NULL OR us - pus > 1800000000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                     count(*) AS n_events
+              FROM x GROUP BY user_id
+            ),
+            t1 AS (SELECT user_id, min(ts) AS t FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+            t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+                   WHERE e.event_type = 'click' GROUP BY 1),
+            t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+                   WHERE e.event_type = 'purchase' GROUP BY 1)
+            SELECT 'sessions' AS part, user_id, n_sessions, n_events,
+                   CAST(NULL AS VARCHAR) AS step,
+                   CAST(NULL AS BIGINT) AS n_users
+            FROM sess
+            UNION ALL
+            SELECT 'funnel', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), s.step, s.n
+            FROM (
+              SELECT '1_view' AS step, count(*) AS n FROM t1
+              UNION ALL SELECT '2_click', count(*) FROM t2
+              UNION ALL SELECT '3_purchase', count(*) FROM t3
+            ) s
         """,
         "tfidf_terms": _TFIDF_ORACLE,
         "revenue_by_nation": _REVENUE_ORACLE,

@@ -100,6 +100,41 @@ def test_semantic_dedup_synthetic(spark):
             assert kept == [min(members)], (g, members, kept)
 
 
+def test_funnel_strict_ordering(spark):
+    """The funnel is ORDERED: a purchase BEFORE the first
+    view->click chain does not convert (this is what separates it
+    from naive per-type existence, which the dense driver fixture
+    cannot discriminate)."""
+    import datetime as dt
+
+    from logparse_spark import corpus
+
+    t = dt.datetime(2026, 1, 1)
+
+    def ev(i, uid, typ, minutes):
+        return (i, t + dt.timedelta(minutes=minutes), uid, typ, 0.0, "{}")
+
+    rows = [
+        # u1: view -> click -> purchase (converts fully)
+        ev(1, 1, "view", 0), ev(2, 1, "click", 1), ev(3, 1, "purchase", 2),
+        # u2: purchase first, then view -> click (NO purchase conversion)
+        ev(4, 2, "purchase", 0), ev(5, 2, "view", 1), ev(6, 2, "click", 2),
+        # u3: click before any view (no click conversion either)
+        ev(7, 3, "click", 0), ev(8, 3, "view", 1),
+        # u4: view only
+        ev(9, 4, "view", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    import tempfile
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r["step"]: r["n_users"] for r in
+           corpus._funnel_base(spark, d).collect()}
+    assert got == {"1_view": 4, "2_click": 2, "3_purchase": 1}
+
+
 def test_bad_params(spark, emb):
     with pytest.raises(ValueError):
         corpus.kmeans_fit_assign(emb, k=0)
