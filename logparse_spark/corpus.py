@@ -970,7 +970,8 @@ def kmeans_fit_assign(emb: DataFrame, k: int = 8, n_iter: int = 5,
 def semantic_dedup(emb: DataFrame, k: int = 16, n_iter: int = 3,
                    threshold: float = 0.9,
                    vec_col: str = "embedding",
-                   id_col: str = "vec_id") -> DataFrame:
+                   id_col: str = "vec_id",
+                   assignment: DataFrame | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     public method): k-means-cluster the embeddings, find cosine
     near-duplicate PAIRS only within each cluster, contract them to
@@ -987,10 +988,19 @@ def semantic_dedup(emb: DataFrame, k: int = 16, n_iter: int = 3,
     to different clusters are not compared (recall traded for the
     quadratic bound, tunable via k).
 
+    ``assignment`` (an (id_col, cluster) frame) skips the k-means and
+    blocks on a PRECOMPUTED partitioning instead — e.g. the persisted
+    ANN index's IVF cells, so a corpus that already paid for an index
+    dedups without a second clustering pass.
+
     Returns (id_col, keep) — keep=false rows are semantic duplicates
     of a kept representative."""
-    assigned, _ = kmeans_fit_assign(emb, k=k, n_iter=n_iter,
-                                    vec_col=vec_col, id_col=id_col)
+    if assignment is not None:
+        assigned = emb.join(
+            assignment.select(id_col, "cluster"), id_col, "inner")
+    else:
+        assigned, _ = kmeans_fit_assign(emb, k=k, n_iter=n_iter,
+                                        vec_col=vec_col, id_col=id_col)
     a = assigned.select(F.col(id_col).alias("doc_a"), "cluster",
                         F.col(vec_col).alias("va"))
     b = assigned.select(F.col(id_col).alias("doc_b"), "cluster",

@@ -100,6 +100,19 @@ def test_semantic_dedup_synthetic(spark):
             assert kept == [min(members)], (g, members, kept)
 
 
+def test_semantic_dedup_precomputed_assignment(spark, emb):
+    """assignment= reuses an existing partitioning (e.g. ANN IVF
+    cells): feeding the k-means assignment back in must reproduce the
+    default result exactly."""
+    assigned, _ = corpus.kmeans_fit_assign(emb, k=5, n_iter=3)
+    via_param = {r["vec_id"]: r["keep"] for r in corpus.semantic_dedup(
+        emb, threshold=0.95,
+        assignment=assigned.select("vec_id", "cluster")).collect()}
+    default = {r["vec_id"]: r["keep"] for r in corpus.semantic_dedup(
+        emb, k=5, n_iter=3, threshold=0.95).collect()}
+    assert via_param == default
+
+
 def test_funnel_strict_ordering(spark):
     """The funnel is ORDERED: a purchase BEFORE the first
     view->click chain does not convert (this is what separates it
