@@ -48,6 +48,9 @@ def main() -> None:
 
     sub.add_parser("snapshots")
     sub.add_parser("stats")
+    va = sub.add_parser("validate")
+    va.add_argument("--require-count-key", action="store_true",
+                    help="sum-bearing rule sets: count_key is required")
     c = sub.add_parser("compact")
     c.add_argument("--max-records-per-file", type=int, default=None)
     c.add_argument("--min-files-per-partition", type=int, default=2)
@@ -100,6 +103,11 @@ def main() -> None:
     ss = SinkSet(out_dir=args.out)
     if args.op == "snapshots":
         print(json.dumps({"snapshots": ss.snapshots()}))
+        return
+    if args.op == "validate":
+        # footer-metadata-only schema contract; no Spark
+        print(json.dumps(ss.validate_schema(
+            require_count_key=args.require_count_key)))
         return
     if args.op == "stats":
         # pure manifest + filesystem read (no Spark): the table census

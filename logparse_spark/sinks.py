@@ -942,6 +942,52 @@ class SinkSet:
         return self._read_committed(spark, by_run, file_sel=file_sel) \
             .filter(cond)
 
+    # core data-file columns every writer in this repo emits (bucket +
+    # sink_id are partition DIRECTORIES, not file columns)
+    REQUIRED_FILE_COLUMNS = ("conv_id", "turn_idx", "role", "ts",
+                             "rule_id", "rule_name", "action", "rendered")
+    # legitimately present-or-absent: enrichment lands only when
+    # dictionaries were supplied; count_key only for sum-bearing rule
+    # sets (cross-run schema evolution reads absent columns as null)
+    OPTIONAL_FILE_COLUMNS = ("count_key", "role_class", "weight",
+                             "tool_family", "is_privileged")
+
+    def validate_schema(self, require_count_key: bool = False) -> dict:
+        """Read-time schema CONTRACT check against the static
+        rule-derived output shape — the §1.2 claim made checkable.
+        EVERY committed data file's footer is read (metadata-only, no
+        data scan — a single foreign/corrupt file is exactly what this
+        must catch, so per-run sampling would be a false guarantee;
+        the O(files) footer walk is the same cost class as the lineage
+        walk every commit already pays). Catches foreign files, wrong
+        writers, and silent column drift BEFORE a reader plans a scan.
+        ``require_count_key=True`` (sum-bearing rule sets) promotes
+        count_key to required. Returns {"ok": bool, "runs": {run_id:
+        {"missing": [...], "unexpected": [...]}}} — violations are the
+        UNION over a run's files, only violating runs listed."""
+        import pyarrow.parquet as pq
+
+        required = set(self.REQUIRED_FILE_COLUMNS)
+        if require_count_key:
+            required.add("count_key")
+        allowed = required | set(self.OPTIONAL_FILE_COLUMNS)
+        out: dict[str, dict] = {}
+        for run_id in self._committed_by_run():
+            base = os.path.join(self.out_dir, "runs", run_id)
+            missing: set[str] = set()
+            unexpected: set[str] = set()
+            for root, _, files in os.walk(base):
+                for f in files:
+                    if not f.endswith(".parquet"):
+                        continue
+                    names = set(pq.read_schema(os.path.join(root, f)).names)
+                    missing |= required - names
+                    unexpected |= names - allowed
+            if missing or unexpected:
+                out[run_id] = {"missing": sorted(missing),
+                               "unexpected": sorted(unexpected)}
+        return {"ok": not out, "runs": out}
+
     def read_conversations(self, spark: SparkSession, conv_ids: list[str],
                            as_of: int | None = None) -> DataFrame:
         """Batch point lookup: every routed row of the named

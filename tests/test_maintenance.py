@@ -168,6 +168,39 @@ def test_compact_with_file_size_target(spark, compact_out):
     assert res2["rewritten_buckets"] == [], res2
 
 
+def test_validate_schema_contract(spark, committed_run, tmp_path):
+    """Metadata-only schema contract: a healthy table passes; a
+    foreign parquet with drifted columns is flagged by run, and a
+    sum-bearing contract requires count_key."""
+    out = str(tmp_path / "contract")
+    shutil.copytree(committed_run, out)
+    ss = SinkSet(out_dir=out)
+    assert ss.validate_schema() == {"ok": True, "runs": {}}
+    # sum contracts demand count_key, which this table lacks on disk
+    res = ss.validate_schema(require_count_key=True)
+    assert not res["ok"]
+    assert all(v["missing"] == ["count_key"] for v in res["runs"].values())
+    # inject a foreign file with a drifted schema into a committed run
+    run_id = next(iter(ss._committed_by_run()))
+    base = os.path.join(out, "runs", run_id)
+    bucket_dir = next(
+        os.path.join(base, d) for d in sorted(os.listdir(base))
+        if d.startswith("bucket="))
+    sink_dir = next(
+        os.path.join(bucket_dir, d) for d in sorted(os.listdir(bucket_dir))
+        if d.startswith("sink_id="))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"rogue_col": pa.array([1])}),
+                   os.path.join(sink_dir, "aaa-foreign.parquet"))
+    res2 = SinkSet(out_dir=out).validate_schema()
+    assert not res2["ok"]
+    flagged = res2["runs"][run_id]
+    assert "rogue_col" in flagged["unexpected"]
+    assert "conv_id" in flagged["missing"]
+
+
 def test_vacuum_removes_only_unreferenced_runs(spark, compact_out):
     # a full rewrite (min_files_per_partition=1) repoints every
     # non-empty bucket, orphaning the earlier runs; vacuum must remove
