@@ -114,7 +114,13 @@ def run(
             raise ValueError(
                 f"source_format must be one of "
                 f"{['parquet', *readers]}: {source_format!r}")
-        df = readers[source_format](spark, source_path)
+        if source_format == "multiline" and compiled.multiline_header:
+            # config-driven assembly: the rules file's `multiline /RE/`
+            # directive decides which lines start records
+            df = sources.read_raw_multiline(
+                spark, source_path, header_re=compiled.multiline_header)
+        else:
+            df = readers[source_format](spark, source_path)
         if buckets == "auto" and load_manifest(out_dir).get("n_buckets") is None:
             raise ValueError(
                 "buckets='auto' sizes from parquet metadata; pass an "

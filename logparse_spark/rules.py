@@ -133,6 +133,9 @@ class CompiledRules:
 
     rules: tuple[CompiledRule, ...]
     source_text: str = field(default="", compare=False)
+    # optional `multiline /RE/` directive: which raw lines START a
+    # record in multiline source mode (assembly only — see parse_rules)
+    multiline_header: str | None = None
 
     @property
     def sink_ids(self) -> list[str]:
@@ -189,13 +192,40 @@ def compile_template(
     return CompiledTemplate(source=source, parts=tuple(parts), max_group=max_group)
 
 
+_MULTILINE_RE = re.compile(r"^multiline\s+/((?:[^/\\]|\\.)*)/$")
+
+
 def parse_rules(text: str) -> list[RuleSpec]:
     """Parse DSL text into an ordered list of RuleSpec (C1)."""
+    return _parse_config(text)[0]
+
+
+def _parse_config(text: str) -> tuple[list[RuleSpec], str | None]:
+    """Rules plus the optional ``multiline /RE/`` directive: in
+    multiline source mode, only lines matching RE START a record —
+    everything else folds into the preceding one. ASSEMBLY control
+    only: field extraction stays the syslog layout, so the directive
+    must select (a subset of) syslog-shaped lines — its use is
+    refinement, e.g. only certain programs open records while other
+    syslog lines ride along as continuations."""
     specs: list[RuleSpec] = []
     names: set[str] = set()
+    multiline: str | None = None
     for lineno, raw in enumerate(text.splitlines(), start=1):
         line = raw.strip()
         if not line or line.startswith("#"):
+            continue
+        mm = _MULTILINE_RE.match(line)
+        if mm:
+            if multiline is not None:
+                raise RuleSyntaxError(
+                    f"line {lineno}: duplicate multiline directive")
+            try:
+                re.compile(mm.group(1))
+            except re.error as e:
+                raise RuleSyntaxError(
+                    f"line {lineno}: bad multiline regex: {e}") from e
+            multiline = mm.group(1)
             continue
         m = _RULE_RE.match(line)
         if not m:
@@ -270,7 +300,7 @@ def parse_rules(text: str) -> list[RuleSpec]:
                 min_agg=min_agg,
             )
         )
-    return specs
+    return specs, multiline
 
 
 def _split_min(rest: str) -> tuple[str, int | None]:
@@ -291,7 +321,8 @@ def _unquote(s: str) -> str:
 def compile_rules(text: str) -> CompiledRules:
     """Parse + compile DSL text into the immutable broadcastable plan."""
     compiled: list[CompiledRule] = []
-    for spec in parse_rules(text):
+    specs, multiline_header = _parse_config(text)
+    for spec in specs:
         try:
             rx = re.compile(spec.pattern)
         except re.error as e:  # pragma: no cover - exercised in tests
@@ -326,7 +357,8 @@ def compile_rules(text: str) -> CompiledRules:
                 key_template=ktmpl,
             )
         )
-    return CompiledRules(rules=tuple(compiled), source_text=text)
+    return CompiledRules(rules=tuple(compiled), source_text=text,
+                         multiline_header=multiline_header)
 
 
 def load_rules(path: str | list[str] | tuple[str, ...]) -> CompiledRules:

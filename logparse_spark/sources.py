@@ -159,13 +159,20 @@ def assemble_multiline(lines: DataFrame, header_re: str = SYSLOG_RE) -> DataFram
 
 
 def read_raw_multiline(spark: SparkSession, path: str,
-                       ref_year: int = 2026) -> DataFrame:
+                       ref_year: int = 2026,
+                       header_re: str = SYSLOG_RE) -> DataFrame:
     """Raw syslog text WITH continuation lines -> transcript-shaped
     frame: :func:`assemble_multiline` folds records, then the header
     fields parse exactly as :func:`read_raw_syslog` and the record's
     ``text`` is the header message plus the continuation lines
-    (original indentation preserved, newline-joined)."""
-    recs = assemble_multiline(spark.read.text(path))
+    (original indentation preserved, newline-joined).
+
+    ``header_re`` (the rules DSL's ``multiline /RE/`` directive)
+    controls ASSEMBLY only — which lines start records; extraction
+    stays the syslog layout, so a custom header must select
+    syslog-shaped lines (refinement: e.g. only certain programs open
+    records, other syslog lines ride along as continuations)."""
+    recs = assemble_multiline(spark.read.text(path), header_re=header_re)
     hdr = F.substring_index(F.col("raw"), "\n", 1)
     rest = F.expr(
         "substr(raw, length(substring_index(raw, '\n', 1)) + 2)"

@@ -140,6 +140,53 @@ def test_multiline_fixture_deterministic():
     assert not a[0].startswith(("    ", "\t", "--"))
 
 
+def test_multiline_directive_refines_headers(spark, tmp_path):
+    """The rules DSL's `multiline /RE/` directive drives assembly
+    through the pipeline: with a header restricted to sshd lines,
+    other syslog lines fold into the preceding sshd record instead of
+    starting their own."""
+    from logparse_spark import pipeline
+    from logparse_spark.rules import RuleSyntaxError, compile_rules
+    from logparse_spark.sinks import SinkSet
+
+    rules_text = (
+        "multiline /^[A-Z][a-z]{2} +\\d{1,2} \\d{2}:\\d{2}:\\d{2} \\S+ sshd/\n"
+        "rule auth match /login failed for user (\\w+)/ count {1}\n")
+    c = compile_rules(rules_text)
+    assert c.multiline_header.endswith("sshd")
+
+    path = _write(tmp_path, "r.log", [
+        "Jan 10 00:00:01 web-01 sshd[1]: login failed for user alice",
+        "Jan 10 00:00:02 web-01 cron: rotation complete",   # folds in
+        "    at frame(F.java:1)",                           # folds in
+        "Jan 10 00:00:03 web-01 sshd[2]: login failed for user bob",
+    ])
+    # direct source call honors the custom header
+    recs = sources.read_raw_multiline(
+        spark, path, header_re=c.multiline_header).collect()
+    assert len(recs) == 2
+    first = next(r for r in recs if r.turn_idx == 0)
+    assert first.text == ("login failed for user alice\n"
+                          "Jan 10 00:00:02 web-01 cron: rotation complete\n"
+                          "    at frame(F.java:1)")
+    # the ship path picks the directive up from the rules file
+    rp = tmp_path / "dir.rules"
+    rp.write_text(rules_text)
+    out = str(tmp_path / "out")
+    res = pipeline.run(spark, source_path=path, out_dir=out,
+                       rules_path=str(rp), buckets=4, groups=1,
+                       source_format="multiline")
+    assert res.total_rows_processed == 2
+    routed = SinkSet(out_dir=out).read_routed(spark)
+    assert routed.filter("action = 'count'").count() == 2
+    # directive errors
+    with pytest.raises(RuleSyntaxError, match="duplicate multiline"):
+        compile_rules("multiline /a/\nmultiline /b/\n"
+                      "rule x match /y/ ignore\n")
+    with pytest.raises(RuleSyntaxError, match="bad multiline regex"):
+        compile_rules("multiline /(/\nrule x match /y/ ignore\n")
+
+
 def test_multi_file_glob_ingest(spark, tmp_path):
     """LogParse takes several log files on the CLI; here a glob (or
     directory) does the same — per-FILE assembly (records never span
