@@ -1036,9 +1036,16 @@ def export_jsonl(df: DataFrame, out_dir: str, n_shards: int = 8,
     ``order_by`` order, and the layout is ``shard=N/part-*.json``
     (dynamic partition write; ``max_records_per_file`` rolls files to
     a dataloader-friendly size). One hash shuffle total. Returns
-    {"rows": n, "shards": n_shards}."""
+    {"rows": n, "shards": n_shards} where ``rows`` is the count the
+    write action itself observed (a CollectMetrics Observation riding
+    the write — NOT a second execution of the upstream plan, which
+    for an expensive or nondeterministic upstream could both double
+    the cost and report a different number than was written)."""
+    from pyspark.sql import Observation
+
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    obs = Observation()
     out = (
         df.withColumn(
             "shard",
@@ -1046,12 +1053,13 @@ def export_jsonl(df: DataFrame, out_dir: str, n_shards: int = 8,
                    F.lit(n_shards)).cast("int"))
         .repartition(n_shards, "shard")
         .sortWithinPartitions("shard", *order_by)
+        .observe(obs, F.count(F.lit(1)).alias("rows"))
     )
     writer = out.write.mode("overwrite")
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy("shard").json(out_dir)
-    return {"rows": df.count(), "shards": n_shards}
+    return {"rows": obs.get["rows"], "shards": n_shards}
 
 
 def q_users_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:

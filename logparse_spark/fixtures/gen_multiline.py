@@ -17,7 +17,11 @@ Layout produced:
   (start with whitespace — never match the header regex);
 - stray unindented junk (`-- malformed … --`): ALSO a continuation by
   the multiline rule (anything that is not a header joins the
-  preceding record), mirroring how shippers treat mid-stream noise.
+  preceding record), mirroring how shippers treat mid-stream noise;
+- BLANK lines: also continuations (pinned semantics — a blank line
+  inside a wrapped record is record content; see
+  sources.assemble_multiline), sprinkled in so the oracle-checked
+  entry exercises the blank-line path, not just unit tests.
 
 Determinism constraints match gen_syslog (strictly increasing per-host
 timestamps, two-digit days, no \\x01 / no embedded newlines per line)
@@ -80,8 +84,14 @@ def gen_multiline_lines(n_headers: int, seed: int = SEED) -> list[str]:
                     f"({_FRAMES[frame_i[i][k]].rsplit('.', 2)[-2]}.java:"
                     f"{line_no[i][k]})"
                 )
-            else:
+            elif kind[i][k] < 0.92:
                 out.append(f"\t{_WRAPPED[wrap_i[i][k]]}")
+            else:
+                # blank continuation line (kept as record content —
+                # pinned semantics); even a file-final blank is safe:
+                # both line readers see "…\n\n" as a trailing empty
+                # line once the oracle trims the single terminator
+                out.append("")
     return out
 
 

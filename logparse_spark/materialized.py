@@ -14,7 +14,11 @@ ONE full recompute and the incremental path resumes from there.
 The view swap mirrors the sink-manifest protocol: each refresh writes
 a new ``v<uuid>`` directory and atomically replaces ``_view.json``
 (pointer + watermark); a crash mid-refresh leaves the old view
-readable and the orphan directory collectable.
+readable and the orphan directory collectable. Superseded view
+versions are retained for ``min_age_minutes`` after the swap (same
+grace discipline as :meth:`SinkSet.vacuum`): a reader that loaded the
+old pointer just before the swap can still finish its scan; each
+refresh sweeps only versions older than the grace window.
 """
 
 from __future__ import annotations
@@ -22,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,9 +38,12 @@ from .sinks import SinkSet, _atomic_write_json
 class SinkDailyCounts:
     """rows per (sink_id, day) — the running ops dashboard table."""
 
-    def __init__(self, table_dir: str, view_dir: str) -> None:
+    def __init__(self, table_dir: str, view_dir: str,
+                 min_age_minutes: float = 30.0) -> None:
         self.table_dir = table_dir
         self.view_dir = view_dir
+        # grace window before a superseded view version is deleted
+        self.min_age_minutes = min_age_minutes
 
     def _state_path(self) -> str:
         return os.path.join(self.view_dir, "_view.json")
@@ -71,9 +79,14 @@ class SinkDailyCounts:
         st = self._state()
         last = st["snapshot"] if st else -1
         if latest == last:
+            self._sweep_stale(current=st["data"] if st else None)
             return {"mode": "noop", "snapshot": latest}
         mode = "incremental" if st else "full"
-        if st:
+        if st and last > latest:
+            # table recreated/reset under the same view dir: the
+            # watermark points past the snapshot log — re-baseline
+            mode = "full"
+        elif st:
             try:
                 delta = self._aggregate(
                     ss.changes(spark, since=last, until=latest))
@@ -81,9 +94,11 @@ class SinkDailyCounts:
                     self.read(spark).unionByName(delta)
                     .groupBy("sink_id", "day").agg(F.sum("n").alias("n"))
                 )
-            except ValueError:
-                # delta crosses a delete/merge/rollback: one full
-                # recompute re-baselines the view
+            except (ValueError, IndexError):
+                # delta crosses a delete/merge/rollback (ValueError) or
+                # the snapshot log is shorter than the watermark
+                # implies (IndexError, table reset): one full recompute
+                # re-baselines the view
                 mode = "full"
         if mode == "full":
             merged = self._aggregate(ss.read_routed(spark))
@@ -91,10 +106,27 @@ class SinkDailyCounts:
         out = os.path.join(self.view_dir, new)
         # the summary is tiny (sinks x days): one file reads fastest
         merged.coalesce(1).write.mode("overwrite").parquet(out)
-        old = st["data"] if st else None
         _atomic_write_json(self._state_path(),
                            {"snapshot": latest, "data": new})
-        if old:
-            shutil.rmtree(os.path.join(self.view_dir, old),
-                          ignore_errors=True)
+        self._sweep_stale(current=new)
         return {"mode": mode, "snapshot": latest}
+
+    def _sweep_stale(self, current: str | None) -> None:
+        """Delete superseded ``v*`` version dirs older than the grace
+        window. Never touches the current pointer target; a version
+        that was JUST superseded survives until it ages out, so
+        in-flight readers of the old pointer finish cleanly."""
+        cutoff = time.time() - self.min_age_minutes * 60.0
+        try:
+            entries = os.listdir(self.view_dir)
+        except FileNotFoundError:
+            return
+        for name in entries:
+            if name == current or not name.startswith("v"):
+                continue
+            p = os.path.join(self.view_dir, name)
+            try:
+                if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue

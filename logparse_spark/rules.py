@@ -318,6 +318,28 @@ def _unquote(s: str) -> str:
     return s.replace('\\"', '"')
 
 
+# Python-re-only syntax that Java's regex engine (Spark's
+# regexp_extract) rejects outright: (?P<name>…) named groups,
+# (?P=name) named backrefs, (?(id)…) conditionals, (?#…) comments.
+# A sum rule's grouping key ALWAYS renders through Java
+# regexp_extract pre-shuffle (udf.sum_key_col) regardless of which
+# Python kernel ran the match, so these must fail at compile time —
+# not throw (or silently diverge) deep inside the job. Residual
+# caveat, documented not detected: \d/\w/\s match Unicode classes
+# under a Python-re kernel fallback but ASCII under Java/RE2; the
+# fixture patterns and the RE2 default keep the engines agreeing,
+# and RE2-incompatible patterns (backrefs/lookaround) are where the
+# divergence could bite — use explicit classes ([0-9] etc.) there.
+_JAVA_REJECTED_RE = re.compile(r"\(\?P[<=]|\(\?\(|\(\?#")
+
+
+def check_java_portable(pattern: str) -> str | None:
+    """The first Java-regex-rejected construct in ``pattern``, or None
+    when the pattern is (syntactically) Java-portable."""
+    m = _JAVA_REJECTED_RE.search(pattern)
+    return m.group(0) if m else None
+
+
 def compile_rules(text: str) -> CompiledRules:
     """Parse + compile DSL text into the immutable broadcastable plan."""
     compiled: list[CompiledRule] = []
@@ -327,6 +349,16 @@ def compile_rules(text: str) -> CompiledRules:
             rx = re.compile(spec.pattern)
         except re.error as e:  # pragma: no cover - exercised in tests
             raise RuleSyntaxError(f"rule {spec.name!r}: bad regex: {e}") from e
+        if spec.action == "sum":
+            bad = check_java_portable(spec.pattern)
+            if bad is not None:
+                raise RuleSyntaxError(
+                    f"rule {spec.name!r}: sum-rule pattern uses "
+                    f"{bad!r}, a Python-only regex construct — the sum "
+                    f"grouping key renders JVM-side (Java regex), which "
+                    f"rejects it; use numeric groups / grok fields or "
+                    f"Java syntax ((?<name>…))"
+                )
         tmpl = (
             compile_template(spec.template, named=dict(spec.named_groups))
             if spec.template is not None

@@ -75,10 +75,14 @@ def assemble_multiline(lines: DataFrame, header_re: str = SYSLOG_RE) -> DataFram
     wrapped detail) and LogParse's single-line loop lacks.
 
     Rule: a line matching ``header_re`` STARTS a record; every other
-    line (indented frames, stray junk) joins the nearest header at or
-    before it. Lines before the first header of a file are orphans and
-    are dropped (there is no record to join; callers that must audit
-    them can diff line counts via the returned ``n_lines``).
+    line (indented frames, wrapped detail, stray junk, and BLANK
+    lines) joins the nearest header at or before it. Blank lines are
+    continuations like any other non-header line — pinned semantics,
+    matching log shippers' multiline modes (a blank line inside a
+    wrapped record is record content) and the DuckDB oracle. Lines
+    before the first header of a file are orphans and are dropped
+    (there is no record to join; callers that must audit them can
+    diff line counts via the returned ``n_lines``).
 
     ``lines`` must be a ``spark.read.text`` frame (column ``value``).
     Returns one row per assembled record:

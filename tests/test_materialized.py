@@ -98,3 +98,59 @@ def test_row_modification_rebaselines(spark, committed_run, tmp_path):
     res = mv.refresh(spark)
     assert res["mode"] == "full"  # delta crossed the delete snapshot
     assert _view(spark, mv) == _truth(spark, table)
+
+
+def test_superseded_version_retained_then_swept(spark, committed_run,
+                                                tmp_path):
+    """The swap keeps the previous version dir for the grace window
+    (an in-flight reader of the old pointer must finish), and a later
+    refresh sweeps versions past the window."""
+    import os
+
+    table = str(tmp_path / "t")
+    shutil.copytree(committed_run, table)
+    mv = materialized.SinkDailyCounts(table, str(tmp_path / "view"))
+    mv.refresh(spark)
+    v1 = mv._state()["data"]
+    old_df = mv.read(spark)  # reader holding the v1 pointer
+    SinkSet(out_dir=table).compact(spark, min_files_per_partition=1)
+    mv.refresh(spark)
+    v2 = mv._state()["data"]
+    assert v2 != v1
+    # v1 survives the swap (default 30-min grace) and stays readable
+    assert os.path.isdir(os.path.join(mv.view_dir, v1))
+    assert old_df.count() > 0
+    # age-out: with a zero grace window the next refresh sweeps v1
+    mv.min_age_minutes = 0.0
+    mv.refresh(spark)  # noop refresh still sweeps
+    assert not os.path.isdir(os.path.join(mv.view_dir, v1))
+    assert os.path.isdir(os.path.join(mv.view_dir, v2))
+
+
+def test_table_reset_rebaselines_not_crashes(spark, committed_run,
+                                             fixture_sf_small, tmp_path):
+    """A table recreated under the same view dir leaves the watermark
+    past the snapshot log; refresh must degrade to one full recompute
+    (re-baselining the watermark), not raise on every call."""
+    table = str(tmp_path / "t")
+    shutil.copytree(committed_run, table)
+    mv = materialized.SinkDailyCounts(table, str(tmp_path / "view"))
+    mv.refresh(spark)
+    assert mv._state()["snapshot"] >= 1  # watermark past snapshot 0
+    # recreate the table with a SHORTER history (1 commit group):
+    # the stale watermark now points past the new snapshot log
+    shutil.rmtree(table)
+    pipeline.run(
+        spark,
+        source_path=f"{fixture_sf_small}/transcripts.parquet",
+        out_dir=table, rules_path=RULES, dict_dir=fixture_sf_small,
+        buckets=8, salt_buckets=2, groups=1,
+    )
+    res = mv.refresh(spark)
+    assert res["mode"] == "full"
+    assert res["snapshot"] == 0
+    assert _view(spark, mv) == _truth(spark, table)
+    # and the re-baselined view resumes incrementally from there
+    SinkSet(out_dir=table).compact(spark, min_files_per_partition=1)
+    assert mv.refresh(spark)["mode"] == "incremental"
+    assert _view(spark, mv) == _truth(spark, table)

@@ -46,6 +46,39 @@ def test_basic_fold(spark, tmp_path):
     assert db[0].text == "rotation complete\n-- stray unindented junk --"
 
 
+def test_blank_lines_are_continuations(spark, tmp_path):
+    """Pinned blank-line semantics: a blank line is a continuation
+    like any other non-header line — it joins the governing record
+    (and counts in n_lines), matching log shippers' multiline modes
+    and the DuckDB oracle (which trims only the file's single
+    trailing newline, never real blank lines)."""
+    lines = [
+        HDRS[0],
+        "",                       # blank inside the record: kept
+        "\twrapped after blank",
+        HDRS[1],
+        "",                       # blank as the record's only cont.
+        HDRS[2],
+    ]
+    path = _write(tmp_path, "blank.log", lines)
+    recs = {r["raw"].split("\n", 1)[0]: r
+            for r in sources.assemble_multiline(
+                spark.read.text(path)).collect()}
+    assert recs[HDRS[0]]["raw"] == (
+        HDRS[0] + "\n\n\twrapped after blank")
+    assert recs[HDRS[0]]["n_lines"] == 3
+    assert recs[HDRS[1]]["raw"] == HDRS[1] + "\n"
+    assert recs[HDRS[1]]["n_lines"] == 2
+    assert recs[HDRS[2]]["n_lines"] == 1
+    # downstream field extraction keeps the blank as record content
+    rows = {r.conv_id: r for r in
+            sources.read_raw_multiline(spark, path).collect()
+            if r.conv_id == "web-01" and r.turn_idx == 0}
+    assert rows["web-01"].text == (
+        "login failed for user alice from 10.0.1.2\n\n"
+        "\twrapped after blank")
+
+
 def test_leading_orphans_dropped(spark, tmp_path):
     path = _write(tmp_path, "b.log", [
         "    orphan continuation before any header",
@@ -269,7 +302,7 @@ def test_assembly_matches_reference_model_property(spark, tmp_path):
     )
     cont = st.sampled_from([
         "    at a.b.c(D.java:1)", "\twrapped detail", "-- junk --",
-        "not a header either", "  x",
+        "not a header either", "  x", "",
     ])
     lines_strategy = st.lists(st.one_of(header, cont), min_size=1, max_size=40)
 

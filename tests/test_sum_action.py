@@ -76,6 +76,27 @@ def test_parse_sum_errors(bad):
         compile_rules(bad)
 
 
+@pytest.mark.parametrize("bad", [
+    "rule s match /x(?P<v>\\d+)y(\\d+)/ sum {2}",   # (?P<…> named group
+    "rule s match /(?P<a>a)(?P=a)x(\\d+)/ sum {3}",  # (?P= backref
+    "rule s match /x(?#note)(\\d+)/ sum {1}",       # (?# comment
+])
+def test_sum_rejects_java_incompatible_patterns(bad):
+    """A sum rule's grouping key renders through Java regexp_extract
+    (udf.sum_key_col) in EVERY engine, so Python-only regex syntax in
+    a sum-rule pattern must fail at compile time, not mid-job."""
+    with pytest.raises(RuleSyntaxError, match="Python-only"):
+        compile_rules(bad)
+
+
+def test_non_sum_rules_still_accept_python_only_syntax():
+    """The fail-fast is scoped to sum rules: count/report/ignore rules
+    run entirely through the Python kernels and keep the wider regex
+    dialect."""
+    c = compile_rules("rule a match /x(?P<v>\\d+)/ count {1}\n")
+    assert c.rules[0].spec.action == "count"
+
+
 def test_sum_with_grok_named_captures(spark):
     """Grok named tokens work in both the value and key templates —
     the weblog shape: total response bytes per status class."""
