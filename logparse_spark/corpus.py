@@ -1081,30 +1081,71 @@ def q_users_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (blocked self-join).
+# semantic-curation arm parameters (mirrored EXACTLY in the oracle:
+# the centroid literals there are a sequential numpy replication of
+# kmeans_fit_assign's deterministic md5-order algorithm at these
+# values)
+_SEM_K, _SEM_ITER, _SEM_THRESH = 8, 3, 0.35
 
+
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding curation tagged union (part='pairs' | 'kmeans' |
+    'keep') — the three embedding-space dedup primitives in one
+    oracle-checked entry.
+
+    part='pairs': cosine near-dup pairs via a blocked self-join.
     Blocking key = the 6-bit random-hyperplane LSH bucket (the SAME
     signature the ann_lsh index uses) — derived from the vectors
-    alone, so the block works on a real unlabeled corpus. (Round 1
-    blocked on the fixture's ground-truth ``label`` column, which a
-    production corpus doesn't have.) Cosine-similar vectors land in
-    the same bucket with high probability, the bucket bounds the
-    quadratic self-join at ~n/64 per block, and the exact
-    double-precision cosine + threshold runs inside each block only.
-    One shuffle on the blocking key; more recall = union several
-    independent signatures (LSH banding), same plan shape."""
-    emb = _emb(spark, sf_dir).withColumn("bucket", _lsh_bucket_col())
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("bucket"),
-                   F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("bucket"),
-                   F.col("embedding").alias("eb"))
+    alone, so the block works on a real unlabeled corpus. Cosine-
+    similar vectors land in the same bucket with high probability,
+    the bucket bounds the quadratic self-join at ~n/64 per block, and
+    the exact double-precision cosine + threshold runs inside each
+    block only. One shuffle on the blocking key.
+
+    part='kmeans': the deterministic distributed Lloyd assignment
+    (kmeans_fit_assign, md5-order init — vec_b carries the cluster
+    id). The DuckDB oracle recomputes the assignment from centroid
+    literals produced by an INDEPENDENT sequential numpy replication
+    of the same algorithm (tie-break to lowest index in both).
+
+    part='keep': SemDeDup-style semantic dedup keeper flags (vec_b =
+    0/1) — within-cluster near-dup pairs contracted to duplicate
+    groups via connected components, min id kept per group; the
+    oracle mirrors it with a recursive-CTE min-label reach over the
+    same within-cluster pair set."""
+    emb = _emb(spark, sf_dir)
+    bemb = emb.withColumn("bucket", _lsh_bucket_col())
+    a = bemb.select(F.col("vec_id").alias("vec_a"), F.col("bucket"),
+                    F.col("embedding").alias("ea"))
+    b = bemb.select(F.col("vec_id").alias("vec_b"), F.col("bucket"),
+                    F.col("embedding").alias("eb"))
     j = a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
-    return (
+    pairs = (
         j.withColumn("sim_r", _cosine_col("ea", "eb"))
         .filter(F.col("sim_r") >= 0.35)
-        .select("vec_a", "vec_b", "bucket", "sim_r")
+        .select(F.lit("pairs").alias("part"),
+                "vec_a", "vec_b",
+                F.col("bucket").cast("int").alias("bucket"), "sim_r")
     )
+    assigned, _ = kmeans_fit_assign(emb, k=_SEM_K, n_iter=_SEM_ITER)
+    km = assigned.select(
+        F.lit("kmeans").alias("part"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("cluster").cast("long").alias("vec_b"),
+        F.lit(None).cast("int").alias("bucket"),
+        F.lit(None).cast("double").alias("sim_r"),
+    )
+    kept = semantic_dedup(
+        emb, threshold=_SEM_THRESH,
+        assignment=assigned.select("vec_id", "cluster"))
+    kp = kept.select(
+        F.lit("keep").alias("part"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("keep").cast("long").alias("vec_b"),
+        F.lit(None).cast("int").alias("bucket"),
+        F.lit(None).cast("double").alias("sim_r"),
+    )
+    return pairs.unionByName(km).unionByName(kp)
 
 
 # ---------------------------------------------------------------------------
@@ -1252,6 +1293,55 @@ _BAND_STAR_PAIRS = """
 """
 
 
+_SEM_CENTS_CACHE: list[list[float]] | None = None
+
+
+def _sem_oracle_centroids() -> list[list[float]]:
+    """Centroids for the dedup_embed kmeans/keep oracle arms: an
+    INDEPENDENT sequential numpy replication of kmeans_fit_assign's
+    deterministic algorithm (md5-order init, argmin ties to lowest
+    index, empty clusters keep their centroid) over the driver's
+    sf0.01 embeddings table — the same cross-engine check
+    tests/test_kmeans.py pins, inlined as double literals so DuckDB
+    can recompute the assignment itself."""
+    global _SEM_CENTS_CACHE
+    if _SEM_CENTS_CACHE is None:
+        import hashlib
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_pylist()
+        vecs = np.array(t.column("embedding").to_pylist(),
+                        dtype=np.float64)
+        order = sorted(
+            range(len(ids)),
+            key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(),
+                           str(ids[i])))
+        cents = np.stack([vecs[i] for i in order[:_SEM_K]])
+        for _ in range(_SEM_ITER):
+            d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(_SEM_K):
+                if (a == c).any():
+                    cents[c] = vecs[a == c].mean(axis=0)
+        _SEM_CENTS_CACHE = [[float(x) for x in c] for c in cents]
+    return _SEM_CENTS_CACHE
+
+
+def _sem_dist_sql(cent: list[float], col: str = "e.embedding") -> str:
+    """Squared-L2 distance to a centroid literal, termwise left-assoc
+    (same evaluation order as kmeans_fit_assign's aggregate fold)."""
+    terms = [
+        f"((CAST({col}[{i + 1}] AS DOUBLE) - {cent[i]!r}) * "
+        f"(CAST({col}[{i + 1}] AS DOUBLE) - {cent[i]!r}))"
+        for i in range(DIM)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def corpus_oracles() -> dict[str, str]:
     words_cte = f"SELECT doc_id, source, lang, text, {_WORDS_DUCK} AS ws FROM documents"
     sh_cte = (
@@ -1285,18 +1375,77 @@ def corpus_oracles() -> dict[str, str]:
     nb_b = _dot64("b.embedding", "b.embedding", "duckdb")
     sim_ab = f"({dot_ab} / (sqrt({na_a}) * sqrt({nb_b})))"
 
+    cents = _sem_oracle_centroids()
+    dist_cols = ", ".join(
+        f"{_sem_dist_sql(c)} AS d{i}" for i, c in enumerate(cents))
+    least_all = "least(" + ", ".join(
+        f"d{i}" for i in range(len(cents))) + ")"
+    argmin_case = "CASE " + " ".join(
+        f"WHEN d{i} = m THEN {i}" for i in range(len(cents))) + " END"
+
     return {
         "dedup_embed": f"""
-            WITH bkt AS (
+            WITH RECURSIVE bkt AS (
               SELECT e.vec_id, e.embedding, {bucket_e} AS bucket
               FROM embeddings e
+            ),
+            parm AS (
+              SELECT 'pairs' AS part, vec_a, vec_b, bucket, sim_r FROM (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       CAST(a.bucket AS INTEGER) AS bucket,
+                       round({sim_ab}, 6) AS sim_r
+                FROM bkt a JOIN bkt b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              ) WHERE sim_r >= {_SEM_THRESH}
+            ),
+            dist AS (
+              SELECT e.vec_id, e.embedding, {dist_cols}
+              FROM embeddings e
+            ),
+            asg AS (
+              SELECT vec_id, embedding, {argmin_case} AS cluster
+              FROM (SELECT *, {least_all} AS m FROM dist)
+            ),
+            karm AS (
+              SELECT 'kmeans' AS part, vec_id AS vec_a,
+                     CAST(cluster AS BIGINT) AS vec_b,
+                     CAST(NULL AS INTEGER) AS bucket,
+                     CAST(NULL AS DOUBLE) AS sim_r
+              FROM asg
+            ),
+            sp AS (
+              SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+              FROM asg a JOIN asg b
+                ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              WHERE round({sim_ab}, 6) >= {_SEM_THRESH}
+            ),
+            sedges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM sp
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM sp
+            ),
+            sreach AS (
+              SELECT src AS doc, src AS lab FROM sedges
+              UNION
+              SELECT e2.src AS doc, r.lab
+              FROM sedges e2 JOIN sreach r ON e2.dst = r.doc
+            ),
+            sroots AS (
+              SELECT doc AS vec_id, min(lab) AS root
+              FROM sreach GROUP BY doc
+            ),
+            keeparm AS (
+              SELECT 'keep' AS part, e.vec_id AS vec_a,
+                     CAST(CASE WHEN r.root IS NULL OR r.root = e.vec_id
+                               THEN 1 ELSE 0 END AS BIGINT) AS vec_b,
+                     CAST(NULL AS INTEGER) AS bucket,
+                     CAST(NULL AS DOUBLE) AS sim_r
+              FROM embeddings e
+              LEFT JOIN sroots r ON e.vec_id = r.vec_id
             )
-            SELECT vec_a, vec_b, bucket, sim_r FROM (
-              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
-                     round({sim_ab}, 6) AS sim_r
-              FROM bkt a JOIN bkt b
-                ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            ) WHERE sim_r >= 0.35
+            SELECT * FROM parm
+            UNION ALL SELECT * FROM karm
+            UNION ALL SELECT * FROM keeparm
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
