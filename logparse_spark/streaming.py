@@ -183,6 +183,7 @@ def upsert_stream(
     dict_dir: str | None = None,
     engine: str = "udf",
     glob_filter: str | None = None,
+    view_dir: str | None = None,
 ):
     """CDC-style upsert ingestion: each micro-batch of re-delivered or
     new conversations is classified with the same compiled rules and
@@ -190,6 +191,18 @@ def upsert_stream(
     granularity (``SinkSet.merge_classified``) — the standard lakehouse
     ``foreachBatch`` + MERGE idiom, pointed at the copy-on-write merge
     instead of an append.
+
+    ``view_dir`` (optional) keeps a ``SinkDailyCounts`` materialized
+    view CURRENT per micro-batch: after each merge commits, the same
+    foreachBatch hook calls ``refresh()`` — the streaming twin of the
+    batch-incremental view (materialized.py). Replay-convergent for
+    free: refresh derives purely from the committed table state, so a
+    replayed batch (merge re-applied, then refresh re-run) lands the
+    view in the identical state. Because a MERGE is a row-level
+    modification snapshot, ``changes()`` refuses to cross it and each
+    refresh degrades to a full recompute of the (tiny, sinks x days)
+    summary — exactly Iceberg's IncrementalAppendScan contract;
+    append-only maintenance keeps the incremental path.
 
     Delivery semantics: foreachBatch is at-least-once (a batch whose
     merge committed but whose checkpoint did not is REPLAYED). The
@@ -221,12 +234,20 @@ def upsert_stream(
         role_dict, tool_dict = _load_dicts(spark, dict_dir)
     checkpoint_dir = checkpoint_dir or os.path.join(table_dir, "_upsert_checkpoint")
 
+    view = None
+    if view_dir is not None:
+        from .materialized import SinkDailyCounts
+
+        view = SinkDailyCounts(table_dir, view_dir)
+
     def process_batch(df: DataFrame, batch_id: int) -> None:
         cdf = classify(
             df, compiled, role_dict, tool_dict,
             buckets=int(nb), engine=engine,
         )
         SinkSet(out_dir=table_dir).merge_classified(df.sparkSession, cdf)
+        if view is not None:
+            view.refresh(df.sparkSession)
 
     sdf = stream_transcripts(spark, source_dir, glob_filter=glob_filter)
     writer = (

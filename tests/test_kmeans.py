@@ -148,6 +148,72 @@ def test_funnel_strict_ordering(spark):
     assert got == {"1_view": 4, "2_click": 2, "3_purchase": 1}
 
 
+def _funnel_reference(events):
+    """Sequential reference of the strict-order funnel: per user,
+    t1 = first view; t2 = first click strictly after t1; t3 = first
+    purchase strictly after t2."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for ts, uid, typ in events:
+        by_user[uid].append((ts, typ))
+    n1 = n2 = n3 = 0
+    for evs in by_user.values():
+        evs.sort()
+        t1 = min((t for t, y in evs if y == "view"), default=None)
+        if t1 is None:
+            continue
+        n1 += 1
+        t2 = min((t for t, y in evs if y == "click" and t > t1),
+                 default=None)
+        if t2 is None:
+            continue
+        n2 += 1
+        if any(y == "purchase" and t > t2 for t, y in evs):
+            n3 += 1
+    return {"1_view": n1, "2_click": n2, "3_purchase": n3}
+
+
+def test_funnel_matches_reference_property(spark, tmp_path):
+    """Hypothesis property: random event permutations (including
+    duplicate timestamps and missing steps) must equal the sequential
+    reference — the strict-order edge cases one handcrafted test
+    can't sweep."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    event = st.tuples(
+        st.integers(0, 20),                       # minute offset
+        st.integers(1, 5),                        # user id
+        st.sampled_from(["view", "click", "purchase", "other"]),
+    )
+    case_n = [0]
+
+    @settings(max_examples=15, deadline=None)
+    @given(evs=st.lists(event, min_size=1, max_size=30))
+    def check(evs):
+        case_n[0] += 1
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            (i, t0 + dt.timedelta(minutes=m), uid, typ, 0.0, "{}")
+            for i, (m, uid, typ) in enumerate(evs)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long, "
+                  "event_type string, value double, props string")
+        d = str(tmp_path / f"fp_{case_n[0]}")
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {r["step"]: r["n_users"] for r in
+               corpus._funnel_base(spark, d).collect()}
+        want = _funnel_reference(
+            [(t0 + dt.timedelta(minutes=m), uid, typ)
+             for m, uid, typ in evs])
+        assert got == want
+
+    check()
+
+
 def test_bad_params(spark, emb):
     with pytest.raises(ValueError):
         corpus.kmeans_fit_assign(emb, k=0)

@@ -560,3 +560,86 @@ def test_upsert_stream_cdc(spark, fixture_sf_small, tmp_path):
     with pytest.raises(ValueError, match="n_buckets"):
         upsert_stream(spark, str(src), str(tmp_path / "nope"),
                       rules_path=RULES)
+
+
+def test_upsert_stream_maintains_materialized_view(
+        spark, fixture_sf_small, tmp_path):
+    """Streaming arm of the materialized view: upsert_stream with
+    view_dir= keeps a SinkDailyCounts view current per micro-batch.
+    Pinned: (a) after each drain the stream-maintained view equals a
+    full recompute over the table; (b) the property SURVIVES a
+    kill/resume — a second drain on the same checkpoint after new
+    deliveries re-lands the view on the truth; (c) a full replay on a
+    fresh checkpoint converges (merge + refresh both derive from
+    committed state)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from logparse_spark import pipeline
+    from logparse_spark.materialized import SinkDailyCounts
+    from logparse_spark.sinks import SinkSet
+    from logparse_spark.streaming import upsert_stream
+
+    table = str(tmp_path / "table")
+    view_dir = str(tmp_path / "view")
+    pipeline.run(
+        spark,
+        source_path=f"{fixture_sf_small}/transcripts.parquet",
+        out_dir=table, rules_path=RULES, dict_dir=fixture_sf_small,
+        buckets=8,
+    )
+    mv = SinkDailyCounts(table, view_dir)
+
+    def truth():
+        return {
+            (r["sink_id"], str(r["day"])): r["n"]
+            for r in SinkSet(out_dir=table).read_routed(spark)
+            .filter(F.col("sink_id") != "ignored")
+            .groupBy("sink_id", F.date_trunc("day", "ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    def view():
+        return {(r["sink_id"], str(r["day"])): r["n"]
+                for r in mv.read(spark).collect()}
+
+    src = tmp_path / "mv_src"
+    src.mkdir()
+    ts = datetime.datetime(2026, 4, 2)
+
+    def deliver(name, conv, n_turns, text):
+        pq.write_table(pa.table({
+            "conv_id": [conv] * n_turns,
+            "turn_idx": pa.array(range(n_turns), type=pa.int32()),
+            "role": ["assistant"] * n_turns,
+            "text": [text] * n_turns,
+            "tool": pa.array([None] * n_turns, type=pa.string()),
+            "ts": pa.array([ts] * n_turns, type=pa.timestamp("us")),
+        }), str(src / f"{name}.parquet"))
+
+    deliver("m1", "convMV0001", 3,
+            "login failed for user mv from 10.0.0.9")
+    ckpt = str(tmp_path / "mv_ckpt")
+    upsert_stream(spark, str(src), table, rules_path=RULES,
+                  checkpoint_dir=ckpt, dict_dir=fixture_sf_small,
+                  view_dir=view_dir)
+    assert view() == truth()                      # (a)
+    assert ("authfail", "2026-04-02 00:00:00") in view()
+
+    # kill/resume: stream is down while new work arrives, then the
+    # SAME checkpoint drains only the new file and re-lands the view
+    deliver("m2", "convMV0002", 2, "err 9 step 1: disk quota exceeded")
+    upsert_stream(spark, str(src), table, rules_path=RULES,
+                  checkpoint_dir=ckpt, dict_dir=fixture_sf_small,
+                  view_dir=view_dir)
+    after_resume = view()
+    assert after_resume == truth()                # (b)
+
+    # full replay, fresh checkpoint: convergent view, no double counts
+    upsert_stream(spark, str(src), table, rules_path=RULES,
+                  checkpoint_dir=str(tmp_path / "mv_ckpt2"),
+                  dict_dir=fixture_sf_small, view_dir=view_dir)
+    assert view() == after_resume == truth()      # (c)
