@@ -116,9 +116,13 @@ def run(
                 f"{['parquet', *readers]}: {source_format!r}")
         if source_format == "multiline" and compiled.multiline_header:
             # config-driven assembly: the rules file's `multiline /RE/`
-            # directive decides which lines start records
+            # directive decides which lines start records; with grok
+            # captures it is ALSO the header extraction template
+            # (non-syslog layouts), plus the ts "FMT" parse format
             df = sources.read_raw_multiline(
-                spark, source_path, header_re=compiled.multiline_header)
+                spark, source_path, header_re=compiled.multiline_header,
+                fields=compiled.multiline_fields,
+                ts_format=compiled.multiline_ts_format)
         else:
             df = readers[source_format](spark, source_path)
         if buckets == "auto" and load_manifest(out_dir).get("n_buckets") is None:

@@ -134,8 +134,16 @@ class CompiledRules:
     rules: tuple[CompiledRule, ...]
     source_text: str = field(default="", compare=False)
     # optional `multiline /RE/` directive: which raw lines START a
-    # record in multiline source mode (assembly only — see parse_rules)
+    # record in multiline source mode. Plain RE = assembly only; grok
+    # %{PAT:field} captures make it an EXTRACTION template too (see
+    # parse_rules / _parse_config)
     multiline_header: str | None = None
+    # (canonical_field, capture_group) pairs from the directive's grok
+    # captures; empty = assembly-only (syslog extraction)
+    multiline_fields: tuple[tuple[str, int], ...] = ()
+    # Java datetime format for the directive's ts field (the `ts "FMT"`
+    # clause); required iff a ts capture is present
+    multiline_ts_format: str | None = None
 
     @property
     def sink_ids(self) -> list[str]:
@@ -192,7 +200,11 @@ def compile_template(
     return CompiledTemplate(source=source, parts=tuple(parts), max_group=max_group)
 
 
-_MULTILINE_RE = re.compile(r"^multiline\s+/((?:[^/\\]|\\.)*)/$")
+_MULTILINE_RE = re.compile(
+    r'^multiline\s+/((?:[^/\\]|\\.)*)/(?:\s+ts\s+"([^"]*)")?$')
+
+# canonical columns a multiline extraction template may capture
+MULTILINE_FIELDS = ("conv_id", "role", "text", "tool", "ts")
 
 
 def parse_rules(text: str) -> list[RuleSpec]:
@@ -200,17 +212,28 @@ def parse_rules(text: str) -> list[RuleSpec]:
     return _parse_config(text)[0]
 
 
-def _parse_config(text: str) -> tuple[list[RuleSpec], str | None]:
-    """Rules plus the optional ``multiline /RE/`` directive: in
-    multiline source mode, only lines matching RE START a record —
-    everything else folds into the preceding one. ASSEMBLY control
-    only: field extraction stays the syslog layout, so the directive
-    must select (a subset of) syslog-shaped lines — its use is
-    refinement, e.g. only certain programs open records while other
-    syslog lines ride along as continuations."""
+def _parse_config(
+    text: str,
+) -> tuple[list[RuleSpec],
+           tuple[str, tuple[tuple[str, int], ...], str | None] | None]:
+    """Rules plus the optional multiline directive:
+
+        multiline /RE/ [ts "JAVA_DATETIME_FORMAT"]
+
+    In multiline source mode, only lines matching RE START a record —
+    everything else folds into the preceding one. A plain RE controls
+    ASSEMBLY only (field extraction stays the syslog layout, so such
+    a directive must select syslog-shaped lines — refinement, e.g.
+    only certain programs open records). With grok ``%{PAT:field}``
+    captures, the directive is ALSO the header EXTRACTION template
+    for non-syslog layouts: fields may be conv_id / role / text /
+    tool / ts (``text`` required — it anchors the record body; the
+    rest default sensibly), and a ``ts`` capture requires the
+    ``ts "FMT"`` clause naming its Java datetime format."""
     specs: list[RuleSpec] = []
     names: set[str] = set()
-    multiline: str | None = None
+    multiline: tuple[str, tuple[tuple[str, int], ...], str | None] | None \
+        = None
     for lineno, raw in enumerate(text.splitlines(), start=1):
         line = raw.strip()
         if not line or line.startswith("#"):
@@ -220,12 +243,38 @@ def _parse_config(text: str) -> tuple[list[RuleSpec], str | None]:
             if multiline is not None:
                 raise RuleSyntaxError(
                     f"line {lineno}: duplicate multiline directive")
+            pat, ts_fmt = mm.group(1), mm.group(2)
+            fields: dict[str, int] = {}
+            if "%{" in pat:
+                try:
+                    pat, fields = expand_grok(pat)
+                except ValueError as e:
+                    raise RuleSyntaxError(f"line {lineno}: {e}") from e
+            if fields:
+                bad = [f for f in fields if f not in MULTILINE_FIELDS]
+                if bad:
+                    raise RuleSyntaxError(
+                        f"line {lineno}: multiline captures {bad} are not "
+                        f"canonical columns {MULTILINE_FIELDS}")
+                if "text" not in fields:
+                    raise RuleSyntaxError(
+                        f"line {lineno}: a multiline extraction template "
+                        f"must capture %{{...:text}} (the record body)")
+                if ("ts" in fields) != (ts_fmt is not None):
+                    raise RuleSyntaxError(
+                        f"line {lineno}: a %{{...:ts}} capture and the "
+                        f'ts "FMT" clause go together (got '
+                        f"{'capture without format' if 'ts' in fields else 'format without capture'})")
+            elif ts_fmt is not None:
+                raise RuleSyntaxError(
+                    f"line {lineno}: ts \"FMT\" requires a %{{...:ts}} "
+                    f"capture in the multiline regex")
             try:
-                re.compile(mm.group(1))
+                re.compile(pat)
             except re.error as e:
                 raise RuleSyntaxError(
                     f"line {lineno}: bad multiline regex: {e}") from e
-            multiline = mm.group(1)
+            multiline = (pat, tuple(fields.items()), ts_fmt)
             continue
         m = _RULE_RE.match(line)
         if not m:
@@ -343,7 +392,7 @@ def check_java_portable(pattern: str) -> str | None:
 def compile_rules(text: str) -> CompiledRules:
     """Parse + compile DSL text into the immutable broadcastable plan."""
     compiled: list[CompiledRule] = []
-    specs, multiline_header = _parse_config(text)
+    specs, multiline = _parse_config(text)
     for spec in specs:
         try:
             rx = re.compile(spec.pattern)
@@ -389,8 +438,12 @@ def compile_rules(text: str) -> CompiledRules:
                 key_template=ktmpl,
             )
         )
-    return CompiledRules(rules=tuple(compiled), source_text=text,
-                         multiline_header=multiline_header)
+    return CompiledRules(
+        rules=tuple(compiled), source_text=text,
+        multiline_header=multiline[0] if multiline else None,
+        multiline_fields=multiline[1] if multiline else (),
+        multiline_ts_format=multiline[2] if multiline else None,
+    )
 
 
 def load_rules(path: str | list[str] | tuple[str, ...]) -> CompiledRules:

@@ -164,18 +164,34 @@ def assemble_multiline(lines: DataFrame, header_re: str = SYSLOG_RE) -> DataFram
 
 def read_raw_multiline(spark: SparkSession, path: str,
                        ref_year: int = 2026,
-                       header_re: str = SYSLOG_RE) -> DataFrame:
-    """Raw syslog text WITH continuation lines -> transcript-shaped
-    frame: :func:`assemble_multiline` folds records, then the header
-    fields parse exactly as :func:`read_raw_syslog` and the record's
-    ``text`` is the header message plus the continuation lines
-    (original indentation preserved, newline-joined).
+                       header_re: str = SYSLOG_RE,
+                       fields: tuple = (),
+                       ts_format: str | None = None) -> DataFrame:
+    """Raw text WITH continuation lines -> transcript-shaped frame:
+    :func:`assemble_multiline` folds records, then the record's
+    canonical columns extract from its governing HEADER line and the
+    record's ``text`` is the header's message plus the continuation
+    lines (original indentation preserved, newline-joined).
 
-    ``header_re`` (the rules DSL's ``multiline /RE/`` directive)
-    controls ASSEMBLY only — which lines start records; extraction
-    stays the syslog layout, so a custom header must select
-    syslog-shaped lines (refinement: e.g. only certain programs open
-    records, other syslog lines ride along as continuations)."""
+    Two extraction modes, both all-JVM:
+
+    - ``fields`` empty (default): the classic syslog layout — a
+      custom ``header_re`` (the rules DSL's plain ``multiline /RE/``
+      directive) then controls ASSEMBLY only and must select
+      syslog-shaped lines (refinement: e.g. only certain programs
+      open records, other syslog lines ride along as continuations).
+    - ``fields`` non-empty (the directive's grok ``%{PAT:field}``
+      captures, as ``((name, group_number), ...)``): the header
+      fields extract via ``regexp_extract(header, header_re, n)`` —
+      any line layout works, not just syslog. ``text`` is required;
+      ``conv_id`` defaults to ``"-"`` (one stream), ``role`` to
+      ``""``, ``tool`` to NULL, ``ts`` (parsed with the Java format
+      ``ts_format``) to NULL. ``turn_idx`` orders by (ts, text) per
+      conv when ts is captured — same determinism contract as the
+      syslog mode — else by file order (blk, seq)."""
+    if fields:
+        return _read_multiline_extract(spark, path, header_re,
+                                       dict(fields), ts_format)
     recs = assemble_multiline(spark.read.text(path), header_re=header_re)
     hdr = F.substring_index(F.col("raw"), "\n", 1)
     rest = F.expr(
@@ -212,6 +228,46 @@ def read_raw_multiline(spark: SparkSession, path: str,
                F.concat(F.col("program"), F.lit("["), F.col("pid"), F.lit("]")))
         .otherwise(F.col("program")).alias("tool"),
         "ts",
+    )
+
+
+def _read_multiline_extract(spark: SparkSession, path: str,
+                            header_re: str, fmap: dict[str, int],
+                            ts_format: str | None) -> DataFrame:
+    """Grok-template extraction mode of :func:`read_raw_multiline`:
+    canonical columns from the governing header line via numbered
+    capture groups (rules.py expands the directive's %{PAT:field}
+    tokens to (field, group) at compile time)."""
+    recs = assemble_multiline(spark.read.text(path), header_re=header_re)
+    hdr = F.substring_index(F.col("raw"), "\n", 1)
+    rest = F.expr(
+        "substr(raw, length(substring_index(raw, '\n', 1)) + 2)"
+    )
+
+    def grp(name: str):
+        return F.regexp_extract(hdr, header_re, fmap[name])
+
+    text_hdr = grp("text")
+    parts = recs.select(
+        F.when(rest == "", text_hdr)
+        .otherwise(F.concat(text_hdr, F.lit("\n"), rest))
+        .alias("text"),
+        (grp("conv_id") if "conv_id" in fmap
+         else F.lit("-")).alias("conv_id"),
+        (grp("role") if "role" in fmap else F.lit("")).alias("role"),
+        (grp("tool") if "tool" in fmap
+         else F.lit(None).cast("string")).alias("tool"),
+        (F.to_timestamp_ntz(grp("ts"), F.lit(ts_format))
+         if "ts" in fmap
+         else F.lit(None).cast("timestamp_ntz")).alias("ts"),
+        "blk", "seq",
+    )
+    order = ("ts", "text") if "ts" in fmap else ("blk", "seq")
+    w = Window.partitionBy("conv_id").orderBy(*order)
+    return (
+        parts
+        .withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     )
 
 

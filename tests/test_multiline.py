@@ -220,6 +220,129 @@ def test_multiline_directive_refines_headers(spark, tmp_path):
         compile_rules("multiline /(/\nrule x match /y/ ignore\n")
 
 
+APPLOG_RULES = "/root/repo/rules/applog.rules"
+
+
+def test_extraction_template_parses_non_syslog_layout(spark, tmp_path):
+    """Round-4 DSL extension: grok captures in the multiline directive
+    extract canonical columns from a NON-syslog header layout."""
+    from logparse_spark.rules import load_rules
+
+    c = load_rules(APPLOG_RULES)
+    assert dict(c.multiline_fields).keys() == {
+        "conv_id", "role", "text", "tool", "ts"}
+    assert c.multiline_ts_format == "yyyy-MM-dd HH:mm:ss"
+    path = _write(tmp_path, "app.log", [
+        "2026-03-14 09:00:01 ERROR [w-1] com.example.Foo: boom happened",
+        "    at com.example.Foo.bar(Foo.java:10)",
+        "",
+        "\tcaused by: disk full",
+        "2026-03-14 09:00:02 INFO [w-2] com.example.Bar: all fine",
+    ])
+    rows = {r.conv_id: r for r in sources.read_raw_multiline(
+        spark, path, header_re=c.multiline_header,
+        fields=c.multiline_fields,
+        ts_format=c.multiline_ts_format).collect()}
+    assert rows["w-1"].role == "ERROR"
+    assert rows["w-1"].tool == "com.example.Foo"
+    assert rows["w-1"].text == ("boom happened\n"
+                                "    at com.example.Foo.bar(Foo.java:10)\n"
+                                "\n\tcaused by: disk full")
+    assert str(rows["w-1"].ts) == "2026-03-14 09:00:01"
+    assert rows["w-2"].text == "all fine" and rows["w-2"].turn_idx == 0
+
+
+def test_extraction_turn_idx_contiguous_per_conv(spark):
+    """turn_idx from the (ts, text) window is dense 0..n-1 per conv."""
+    from logparse_spark.fixtures.gen_applog import ensure_applog_fixture
+    from logparse_spark.rules import load_rules
+
+    c = load_rules(APPLOG_RULES)
+    df = sources.read_raw_multiline(
+        spark, ensure_applog_fixture("0.001"),
+        header_re=c.multiline_header, fields=c.multiline_fields,
+        ts_format=c.multiline_ts_format)
+    bad = (df.groupBy("conv_id")
+           .agg(F.count("*").alias("n"), F.max("turn_idx").alias("mx"),
+                F.min("turn_idx").alias("mn"),
+                F.countDistinct("turn_idx").alias("d"))
+           .filter("mn <> 0 OR mx <> n - 1 OR d <> n").count())
+    assert bad == 0
+    assert df.filter("ts IS NULL OR conv_id = ''").count() == 0
+
+
+@pytest.mark.parametrize("split_bytes", [512, 4096])
+def test_extraction_split_boundary_invariance(spark, split_bytes):
+    """The extraction mode inherits assembly's scale property: forced
+    tiny splits produce identical records to a whole-file read."""
+    from logparse_spark.fixtures.gen_applog import ensure_applog_fixture
+    from logparse_spark.rules import load_rules
+
+    c = load_rules(APPLOG_RULES)
+    path = ensure_applog_fixture("0.001")
+
+    def read():
+        return sorted(map(tuple, sources.read_raw_multiline(
+            spark, path, header_re=c.multiline_header,
+            fields=c.multiline_fields,
+            ts_format=c.multiline_ts_format).collect()))
+
+    whole = read()
+    spark.conf.set("spark.sql.files.maxPartitionBytes", split_bytes)
+    spark.conf.set("spark.sql.files.openCostInBytes", 0)
+    try:
+        split = read()
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+    assert split == whole and len(whole) > 100
+
+
+def test_extraction_through_pipeline_run(spark, tmp_path):
+    """Ship path: pipeline.run(source_format=multiline) with an
+    extraction-template rules file parses raw app logs straight
+    through parse -> route -> commit, with the sum/count rules
+    operating on the EXTRACTED text column."""
+    from logparse_spark import pipeline
+    from logparse_spark.fixtures.gen_applog import ensure_applog_fixture
+    from logparse_spark.sinks import SinkSet
+
+    out = str(tmp_path / "out")
+    res = pipeline.run(
+        spark, source_path=ensure_applog_fixture("0.001"),
+        out_dir=out, rules_path=APPLOG_RULES, buckets=4, groups=1,
+        source_format="multiline")
+    assert res.total_rows_processed == 700
+    routed = SinkSet(out_dir=out).read_routed(spark)
+    sinks = {r["sink_id"] for r in
+             routed.select("sink_id").distinct().collect()}
+    assert {"timeouts", "requests", "jobfail"} <= sinks
+    # the sum rule extracted numeric values from the folded text
+    tot = routed.filter("sink_id = 'timeouts'") \
+        .agg(F.sum(F.col("rendered").cast("long"))).first()[0]
+    assert tot and tot > 0
+
+
+def test_extraction_directive_errors():
+    from logparse_spark.rules import RuleSyntaxError, compile_rules
+
+    base = "rule x match /y/ ignore\n"
+    with pytest.raises(RuleSyntaxError, match="canonical columns"):
+        compile_rules("multiline /%{WORD:bogus} %{GREEDYDATA:text}/\n"
+                      + base)
+    with pytest.raises(RuleSyntaxError, match="must capture"):
+        compile_rules("multiline /%{WORD:role}/\n" + base)
+    with pytest.raises(RuleSyntaxError, match="go together"):
+        compile_rules("multiline /%{WORD:ts} %{GREEDYDATA:text}/\n" + base)
+    with pytest.raises(RuleSyntaxError, match="go together"):
+        compile_rules('multiline /%{GREEDYDATA:text}/ ts "yyyy"\n' + base)
+    with pytest.raises(RuleSyntaxError, match="requires"):
+        compile_rules('multiline /plain/ ts "yyyy"\n' + base)
+    # assembly-only directives keep working unchanged
+    c = compile_rules("multiline /^HDR/\n" + base)
+    assert c.multiline_header == "^HDR" and c.multiline_fields == ()
+
+
 def test_multi_file_glob_ingest(spark, tmp_path):
     """LogParse takes several log files on the CLI; here a glob (or
     directory) does the same — per-FILE assembly (records never span
