@@ -319,11 +319,22 @@ def render_report(
     # rows and lineage totals are untouched
     thresholds = {r.spec.name: r.spec.min_agg
                   for r in compiled.rules if r.spec.min_agg is not None}
+    # per-rule render cap ("top N" in the DSL, the logwatch top-
+    # offenders shape): tightens the global max_lines_per_rule for
+    # that rule only; like min N it never filters routed rows
+    caps = {r.spec.name: min(r.spec.top_k, max_lines_per_rule)
+            for r in compiled.rules if r.spec.top_k is not None}
 
     def _thr_col():
         expr = F.lit(0)
         for name, t in thresholds.items():
             expr = F.when(F.col("rule_name") == name, F.lit(t)).otherwise(expr)
+        return expr
+
+    def _cap_col():
+        expr = F.lit(max_lines_per_rule)
+        for name, k in caps.items():
+            expr = F.when(F.col("rule_name") == name, F.lit(k)).otherwise(expr)
         return expr
 
     keyed_by_rule: dict[str, list] = {}
@@ -334,7 +345,7 @@ def render_report(
             .groupBy("rule_name", "count_key").agg(F.count("*").alias("n"))
             .filter(F.col("n") >= _thr_col())
             .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= max_lines_per_rule)
+            .filter(F.col("rk") <= _cap_col())
             .collect()
         )
         for r in sorted(rows, key=lambda r: (r["rule_name"], r["rk"])):
@@ -350,7 +361,7 @@ def render_report(
                  F.count(F.lit(1)).alias("n"))
             .filter(F.col("total") >= _thr_col())
             .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= max_lines_per_rule)
+            .filter(F.col("rk") <= _cap_col())
             .collect()
         )
         for r in sorted(rows, key=lambda r: (r["rule_name"], r["rk"])):

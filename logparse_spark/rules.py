@@ -72,6 +72,10 @@ class RuleSpec:
     # it are folded out of the rendered summary (logwatch-style noise
     # floor); never filters routed rows, only the report
     min_agg: int | None = None
+    # count/sum: report-stage cap — only the N highest-aggregate keys
+    # render for this rule (`top N`, the logwatch "top offenders"
+    # shape); like min_agg it never filters routed rows
+    top_k: int | None = None
 
 
 @dataclass(frozen=True)
@@ -291,20 +295,21 @@ def _parse_config(
         template: str | None = None
         key_template: str | None = None
         min_agg: int | None = None
+        top_k: int | None = None
         if action == "ignore":
             if rest:
                 raise RuleSyntaxError(f"line {lineno}: ignore takes no template")
         elif action == "count":
-            rest, min_agg = _split_min(rest)
+            rest, min_agg, top_k = _split_tail_opts(rest)
             # key template; bare "{1}" or quoted "...{1}..."
             if not rest:
                 raise RuleSyntaxError(f"line {lineno}: count needs a key template")
             template = _unquote(rest)
         elif action == "sum":
-            # sum {n} [key "TEMPLATE"] [min N] — {n} is the numeric
-            # VALUE capture; the key defaults to one accumulator per
-            # rule (rendered under the rule's name)
-            rest, min_agg = _split_min(rest)
+            # sum {n} [key "TEMPLATE"] [min N] [top N] — {n} is the
+            # numeric VALUE capture; the key defaults to one
+            # accumulator per rule (rendered under the rule's name)
+            rest, min_agg, top_k = _split_tail_opts(rest)
             ms = re.match(
                 r'^\{(\d+|[A-Za-z]\w*)\}(?:\s+key\s+(?P<key>".*"|\S+))?$',
                 rest)
@@ -347,18 +352,35 @@ def _parse_config(
                 named_groups=named_groups,
                 key_template=key_template,
                 min_agg=min_agg,
+                top_k=top_k,
             )
         )
     return specs, multiline
 
 
-def _split_min(rest: str) -> tuple[str, int | None]:
-    """Strip a trailing ``min N`` clause. Never reaches inside a quoted
-    template (a rest ending in ``"`` has no trailing clause)."""
-    m = re.search(r"\s+min\s+(\d+)$", rest)
-    if m and not rest.endswith('"'):
-        return rest[: m.start()].strip(), int(m.group(1))
-    return rest, None
+def _split_tail_opts(rest: str) -> tuple[str, int | None, int | None]:
+    """Strip trailing ``min N`` / ``top N`` clauses (either order).
+    Never reaches inside a quoted template (a rest ending in ``"``
+    has no trailing clause). Returns (rest, min_agg, top_k)."""
+    min_agg: int | None = None
+    top_k: int | None = None
+    while not rest.endswith('"'):
+        m = re.search(r"\s+(min|top)\s+(\d+)$", rest)
+        if not m:
+            break
+        kind, val = m.group(1), int(m.group(2))
+        if kind == "min":
+            if min_agg is not None:
+                raise RuleSyntaxError(f"duplicate min clause: {rest!r}")
+            min_agg = val
+        else:
+            if top_k is not None:
+                raise RuleSyntaxError(f"duplicate top clause: {rest!r}")
+            if val < 1:
+                raise RuleSyntaxError(f"top must be >= 1: {rest!r}")
+            top_k = val
+        rest = rest[: m.start()].strip()
+    return rest, min_agg, top_k
 
 
 def _unquote(s: str) -> str:

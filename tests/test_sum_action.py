@@ -208,3 +208,55 @@ def test_report_renders_sums_and_min_floor(spark, sum_run):
         if line.strip().startswith("msgsum:"):
             total = float(line.split(":")[1].split("over")[0])
             assert total >= 50
+
+
+def test_parse_top_clause_variants():
+    c = compile_rules(
+        "rule a match /x(\\d+)/ count {1} top 5\n"
+        "rule b match /y(\\d+)/ count {1} top 3 min 2\n"
+        'rule c match /z(\\d+)/ sum {1} key "k {1}" min 4 top 7\n'
+        'rule d match /w(\\d+)/ count "top 9"\n')  # quoted guard
+    a, b, cc, d = c.rules
+    assert (a.spec.top_k, a.spec.min_agg) == (5, None)
+    assert (b.spec.top_k, b.spec.min_agg) == (3, 2)
+    assert (cc.spec.top_k, cc.spec.min_agg) == (7, 4)
+    assert d.spec.top_k is None and d.spec.template == "top 9"
+    for bad in ("rule a match /x(\\d)/ count {1} top 0",
+                "rule a match /x(\\d)/ count {1} top 2 top 3",
+                "rule a match /x(\\d)/ count {1} min 1 min 2"):
+        with pytest.raises(RuleSyntaxError):
+            compile_rules(bad)
+
+
+def test_report_honors_per_rule_top_k(spark, sum_run, tmp_path):
+    """`top N` caps the RENDERED keys per rule at the N highest
+    aggregates (logwatch top-offenders), tighter than the global
+    max_lines_per_rule; routed rows are untouched."""
+    out, rules_path = sum_run
+    capped = RULES.replace("count {1}", "count {1} top 2")
+    assert "top 2" in capped  # the replace actually matched
+    rp = tmp_path / "top.rules"
+    rp.write_text(capped)
+    rep = pipeline.render_report(spark, out, load_rules(str(rp)))
+    keyed = [ln for ln in _rule_section(rep, "authfail")
+             if ln.startswith("  ")]
+    assert len(keyed) == 2
+    # uncapped render shows more keys for the same rule
+    rep_full = pipeline.render_report(spark, out, load_rules(rules_path))
+    full = [ln for ln in _rule_section(rep_full, "authfail")
+            if ln.startswith("  ")]
+    assert len(full) > 2
+    # and the 2 rendered are the TOP-2 of the full ranking
+    assert keyed == full[:2]
+
+
+def _rule_section(report: str, rule: str) -> list:
+    lines = report.splitlines()
+    start = next(i for i, ln in enumerate(lines)
+                 if ln.startswith(f"rule {rule} "))
+    sect = []
+    for ln in lines[start + 1:]:
+        if not ln:
+            break
+        sect.append(ln)
+    return sect
