@@ -1983,18 +1983,73 @@ _REVENUE_ORACLE = """
 """
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: documents sharing ANY word n-gram
+    with an eval/benchmark set — the training-data hygiene pass that
+    keeps eval questions out of the training corpus (n-gram overlap is
+    the standard public method, e.g. GPT-3 App. C / PaLM-style 8-13
+    gram checks).
+
+    Scale shape: the benchmark is small by definition, so its distinct
+    gram set BROADCASTS and the corpus side never shuffles — each doc
+    explodes its n-grams (a JVM transform over the token array, no
+    Python) and broadcast-semi-joins; the only exchange is the final
+    per-doc count aggregation, map-side combined. At 100 TB the
+    benchmark-gram bloom/set is MBs; the corpus pass stays one scan.
+
+    Returns (id_col, n_shared) — flagged docs only, n_shared = how
+    many DISTINCT benchmark n-grams the document contains."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+
+    def grams(df: DataFrame) -> DataFrame:
+        d = _with_words(df).filter(F.size("ws") >= n)
+        g = F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("ws", i, n)))
+        return d.select(id_col, F.explode(g).alias("gram"))
+
+    bench = grams(benchmark).select("gram").distinct()
+    return (
+        grams(docs)
+        .join(F.broadcast(bench), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").alias("n_shared"))
+    )
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation capstone: the composed filter -> dedup pass
-    a training-data pipeline runs before tokenization. Gates: token
-    count >= 5, English stopword density (the lang_stopword heuristic),
-    alnum mass >= half the raw length; then exact near-dup removal on
+    """End-to-end curation capstone, tagged union (part='kept' |
+    'contaminated').
+
+    part='kept': the composed filter -> dedup pass a training-data
+    pipeline runs before tokenization. Gates: token count >= 5,
+    English stopword density (the lang_stopword heuristic), alnum
+    mass >= half the raw length; then exact near-dup removal on
     whitespace-normalized text, keeping the lowest doc_id per group.
 
-    Scale shape: all gates are narrow JVM-side map work; the ONE
-    shuffle groups by md5(norm_text) — a 32-byte key instead of the
-    full document, so the exchange carries hashes + ids, never text.
-    (Same trick as dedup_exact; md5 is identical hex in both engines.)"""
-    docs = _with_words(_docs(spark, sf_dir))
+    part='contaminated': benchmark decontamination (decontaminate()) —
+    docs sharing any word n-gram with the held-out benchmark subset
+    (here the deterministic doc_id % 97 == 0 slice stands in for the
+    eval set; n=4 keeps the arm non-trivial on the synthetic fixture,
+    production uses 8-13). n_dups carries the distinct shared-gram
+    count for this arm.
+
+    Scale shape: all gates are narrow JVM-side map work; the kept
+    arm's ONE shuffle groups by md5(norm_text) — a 32-byte key instead
+    of the full document, so the exchange carries hashes + ids, never
+    text (same trick as dedup_exact; md5 is identical hex in both
+    engines) — and the contamination arm broadcasts the benchmark
+    grams, so the corpus side never shuffles before its count."""
+    raw = _docs(spark, sf_dir)
+    bench = raw.filter(F.col("doc_id") % 97 == 0)
+    contam = (
+        decontaminate(raw.filter(F.col("doc_id") % 97 != 0), bench, n=4)
+        .select(F.lit("contaminated").alias("part"), "doc_id",
+                F.col("n_shared").alias("n_dups"))
+    )
+    docs = _with_words(raw)
     # explicit whitespace class: Java \s matches \x0b, RE2 \s does not —
     # the same literal class keeps the md5 keys engine-identical
     norm = F.lower(F.trim(F.regexp_replace("text", "[ \\t\\n\\f\\r]+", " ")))
@@ -2011,9 +2066,10 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_stop") * 12 >= F.col("n_tokens"))
         & (F.col("n_alnum") * 2 >= F.col("text_len"))
     )
-    return cand.groupBy("key").agg(
+    kept = cand.groupBy("key").agg(
         F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dups")
-    ).select("doc_id", "n_dups")
+    ).select(F.lit("kept").alias("part"), "doc_id", "n_dups")
+    return kept.unionByName(contam)
 
 
 _CURATE_ORACLE = f"""
@@ -2025,12 +2081,26 @@ _CURATE_ORACLE = f"""
              length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS n_alnum,
              length(text) AS text_len
       FROM (SELECT doc_id, text, {_WORDS_DUCK} AS ws FROM documents)
-    )
-    SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+    ),
+    w AS (SELECT doc_id, {_WORDS_DUCK} AS ws FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - 4 + 2),
+                    i -> array_to_string(ws[i:i+3], ' '))) AS gram
+      FROM w WHERE len(ws) >= 4
+    ),
+    bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+    SELECT 'kept' AS part, min(doc_id) AS doc_id, count(*) AS n_dups
     FROM c
     WHERE n_tokens >= 5 AND n_stop * 12 >= n_tokens
       AND n_alnum * 2 >= text_len
     GROUP BY key
+    UNION ALL
+    SELECT 'contaminated' AS part, g.doc_id,
+           count(DISTINCT g.gram) AS n_dups
+    FROM g JOIN bg USING (gram)
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
 """
 
 

@@ -172,3 +172,49 @@ def test_cc_empty_and_single_edge(spark):
     got = {r["doc_id"]: r["group_root"]
            for r in corpus.connected_components(one).collect()}
     assert got == {3: 3, 7: 3}
+
+
+def test_decontaminate_planted(spark):
+    """Planted benchmark overlap: a doc carrying the eval 8-gram is
+    flagged; a 7-token near-miss and unrelated text are clean; the
+    benchmark's own grams only flag OTHER docs (callers exclude the
+    benchmark slice themselves, as q_curate_corpus does)."""
+    from logparse_spark import corpus
+
+    schema = "doc_id long, text string"
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")], schema)
+    docs = spark.createDataFrame([
+        # contains the full benchmark 8-gram inside longer text
+        (1, "xx alpha beta gamma delta epsilon zeta eta theta yy"),
+        # 7-token prefix only: clean at n=8
+        (2, "alpha beta gamma delta epsilon zeta eta"),
+        (3, "unrelated words entirely different content okay tail pad"),
+        # two shared grams: the 8-gram twice via a 9-token window
+        (4, "alpha beta gamma delta epsilon zeta eta theta theta"),
+    ], schema)
+    out = {r["doc_id"]: r["n_shared"] for r in
+           corpus.decontaminate(docs, bench, n=8).collect()}
+    assert out == {1: 1, 4: 1}
+    # tokenization is case/punct-insensitive like the rest of corpus
+    docs2 = spark.createDataFrame(
+        [(9, "Alpha, BETA gamma; delta epsilon zeta eta THETA!")], schema)
+    assert [r["doc_id"] for r in
+            corpus.decontaminate(docs2, bench, n=8).collect()] == [9]
+    with pytest.raises(ValueError):
+        corpus.decontaminate(docs, bench, n=0)
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    """Scale property: the corpus side must broadcast-semi-join the
+    benchmark gram set — no shuffle of the exploded corpus grams
+    before the final count, no Python in the plan."""
+    from logparse_spark import corpus
+
+    schema = "doc_id long, text string"
+    bench = spark.createDataFrame([(1, "a b c d e f g h")], schema)
+    docs = spark.createDataFrame([(2, "a b c d e f g h i")], schema)
+    plan = corpus.decontaminate(docs, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
