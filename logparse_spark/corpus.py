@@ -312,12 +312,69 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprint from distinct word tokens.
+# winnowing parameters for the oracle-checked arm (small so the
+# guarantee window k+w-1 is visible on short synthetic docs;
+# production plagiarism/contamination setups use e.g. k=50, w=100)
+WINNOW_K, WINNOW_W = 7, 5
 
-    Bit i of each word's md5 is read from hex nibble i (>=8 -> 1);
-    per-doc weight_i = sum(+1/-1); fingerprint = sum(2^i * [w_i>0]).
-    Pure integer arithmetic -> engine-exact."""
+
+def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
+                        w: int = WINNOW_W, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003; the MOSS method): hash every char k-gram of the
+    normalized text, slide a window of ``w`` hashes, keep each
+    window's minimum — the selected set is a position-robust
+    fingerprint with the winnowing GUARANTEE: any match of length
+    >= k + w - 1 between two documents shares at least one selected
+    fingerprint. The local rolling-hash complement to SimHash
+    (global similarity) and MinHash (set similarity): it finds
+    CONTIGUOUS shared passages, the plagiarism/contamination shape.
+
+    Spark-first: the whole per-doc pipeline is ONE row-local JVM
+    expression chain (transform over sequence -> substring k-grams ->
+    md5 window minima -> array_distinct -> explode) — no shuffle at
+    all until whatever aggregation the caller adds, no Python. The
+    hash is the first 8 md5 hex chars kept as a STRING: fixed-width
+    lowercase hex compares lexicographically exactly like its numeric
+    value, so min-selection is engine-identical (Spark array_min /
+    DuckDB list_aggregate 'min').
+
+    Returns (id_col, fp) — distinct selected fingerprints per doc."""
+    if k < 1 or w < 1:
+        raise ValueError(f"bad k={k} / w={w}")
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    d = docs.select(id_col, norm.alias("t")) \
+        .filter(F.length("t") >= k + w - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("t") - (k - 1)),
+        lambda i: F.substring(F.md5(F.substring(F.col("t"), i, k)), 1, 8))
+    d = d.select(id_col, grams.alias("h"))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("h") - (w - 1)),
+        lambda j: F.array_min(F.slice("h", j, w)))
+    return d.select(id_col, F.explode(F.array_distinct(mins)).alias("fp"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints, tagged union (part='simhash'|'winnow').
+
+    part='simhash': 16-bit SimHash from distinct word tokens. Bit i
+    of each word's md5 is read from hex nibble i (>=8 -> 1); per-doc
+    weight_i = sum(+1/-1); fingerprint = sum(2^i * [w_i>0]). Pure
+    integer arithmetic -> engine-exact (fp carries the decimal string
+    so both arms share one column).
+
+    part='winnow': rolling-hash winnowing fingerprints
+    (winnow_fingerprints) — the local-match complement; fp is the
+    8-hex-char selected hash. The arm runs on the deterministic
+    doc_id % 5 == 0 fifth of the corpus: it exists to pin the
+    operator's cross-engine exactness in the driver gate (the md5 of
+    EVERY char k-gram is the honest cost of winnowing, ~4x this
+    entry's simhash arm at full width), while the operator itself and
+    the winnowing-guarantee/plan properties are pinned unsampled in
+    tests/test_corpus_scale.py."""
     words = (
         _with_words(_docs(spark, sf_dir))
         .select("doc_id", F.explode(F.array_distinct("ws")).alias("w"))
@@ -335,7 +392,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(16):
         term = F.when(F.col(f"w{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return bit_sums.select("doc_id", fp.cast("long").alias("simhash"))
+    sim = bit_sums.select(
+        F.lit("simhash").alias("part"), "doc_id",
+        fp.cast("long").cast("string").alias("fp"))
+    win = winnow_fingerprints(
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)).select(
+        F.lit("winnow").alias("part"), "doc_id", "fp")
+    return sim.unionByName(win)
 
 
 def connected_components(pairs: DataFrame, max_rounds: int = 50,
@@ -1512,10 +1575,27 @@ def corpus_oracles() -> dict[str, str]:
                     "THEN 1 ELSE -1 END) AS w%d" % (i + 1, i) for i in range(16)
                 )}
               FROM h GROUP BY doc_id
+            ),
+            nm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            hh AS (
+              SELECT doc_id,
+                     list_transform(range(1, length(t) - {WINNOW_K - 1} + 1),
+                       i -> substr(md5(substr(t, i, {WINNOW_K})), 1, 8)) AS h
+              FROM nm WHERE length(t) >= {WINNOW_K + WINNOW_W - 1}
             )
-            SELECT doc_id,
-              CAST({" + ".join(f"(CASE WHEN w{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(16))} AS BIGINT) AS simhash
+            SELECT 'simhash' AS part, doc_id,
+              CAST(CAST({" + ".join(f"(CASE WHEN w{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(16))} AS BIGINT) AS VARCHAR) AS fp
             FROM bits
+            UNION ALL
+            SELECT 'winnow' AS part, doc_id,
+                   unnest(list_distinct(list_transform(
+                     range(1, len(h) - {WINNOW_W - 1} + 1),
+                     j -> list_aggregate(list_slice(h, j, j + {WINNOW_W - 1}), 'min')))) AS fp
+            FROM hh
         """,
         "doc_features": f"""
             SELECT doc_id,

