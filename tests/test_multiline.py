@@ -491,3 +491,100 @@ def test_multiline_through_pipeline(spark):
     n_ignored = pdf.filter(F.col("action") == "ignore").count()
     assert sum(counts.values()) + n_ignored == df.count()
     assert len(counts) > 2
+
+
+def test_extraction_matches_reference_model_property(spark, tmp_path):
+    """Hypothesis property for the EXTRACTION mode: random app-log
+    header/continuation/blank interleavings, read at adversarially
+    small splits, must produce exactly the records and extracted
+    fields of a sequential pure-Python reference."""
+    import re as _re
+
+    from hypothesis import given, settings, strategies as st
+
+    from logparse_spark.rules import load_rules
+
+    c = load_rules(APPLOG_RULES)
+    hdr_re = _re.compile(c.multiline_header)
+    fmap = dict(c.multiline_fields)
+
+    header = st.builds(
+        lambda m, w, lv, msg: (
+            f"2026-03-14 09:{m // 60:02d}:{m % 60:02d} "
+            f"{['INFO', 'ERROR'][lv]} [w-{w}] com.ex.C: {msg}"),
+        st.integers(0, 3599), st.integers(0, 2), st.integers(0, 1),
+        st.text(alphabet="abc msg12", min_size=1, max_size=12),
+    )
+    cont = st.sampled_from(
+        ["    at a.b(C.java:1)", "\twrapped", "", "-- junk --"])
+    case_n = [0]
+
+    @settings(max_examples=10, deadline=None)
+    @given(lines=st.lists(st.one_of(header, cont), min_size=1,
+                          max_size=30))
+    def check(lines):
+        case_n[0] += 1
+        p = tmp_path / f"xprop_{case_n[0]}.log"
+        p.write_text("\n".join(lines) + "\n")
+        # sequential reference: assemble, then extract per directive
+        recs, cur = [], None
+        for ln in lines:
+            if hdr_re.match(ln):
+                if cur is not None:
+                    recs.append(cur)
+                cur = [ln]
+            elif cur is not None:
+                cur.append(ln)
+        if cur is not None:
+            recs.append(cur)
+        want = set()
+        for r in recs:
+            m = hdr_re.match(r[0])
+            text = m.group(fmap["text"])
+            # the engine composes text = msg [+ "\n" + joined-conts],
+            # so a record whose continuations join to "" (none, or a
+            # single blank line) renders as the bare message — the
+            # same rule in Spark and the DuckDB oracle
+            rest = "\n".join(r[1:])
+            if rest != "":
+                text += "\n" + rest
+            want.add((m.group(fmap["conv_id"]), m.group(fmap["role"]),
+                      text, m.group(fmap["tool"]), m.group(fmap["ts"])))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", 256)
+        spark.conf.set("spark.sql.files.openCostInBytes", 0)
+        try:
+            got = {
+                (r.conv_id, r.role, r.text, r.tool,
+                 r.ts.strftime("%Y-%m-%d %H:%M:%S"))
+                for r in sources.read_raw_multiline(
+                    spark, str(p), header_re=c.multiline_header,
+                    fields=c.multiline_fields,
+                    ts_format=c.multiline_ts_format).collect()}
+        finally:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+            spark.conf.unset("spark.sql.files.openCostInBytes")
+        assert got == want
+
+    check()
+
+
+def test_extracted_frame_engines_agree(spark):
+    """Both dispatch engines produce identical matches over the
+    extraction-mode frame (multi-line text values included)."""
+    from logparse_spark import stages
+    from logparse_spark.fixtures.gen_applog import ensure_applog_fixture
+    from logparse_spark.rules import load_rules
+
+    c = load_rules(APPLOG_RULES)
+    df = sources.read_raw_multiline(
+        spark, ensure_applog_fixture("0.001"),
+        header_re=c.multiline_header, fields=c.multiline_fields,
+        ts_format=c.multiline_ts_format).cache()
+    cols = ("conv_id", "turn_idx", "rule_name", "action", "count_key",
+            "rendered")
+    a = sorted(map(tuple, stages.parse_match(df, c, engine="udf")
+                   .select(*cols).collect()))
+    b = sorted(map(tuple, stages.parse_match(df, c, engine="sql")
+                   .select(*cols).collect()))
+    assert a == b and len(a) == 700
+    df.unpersist()
