@@ -121,7 +121,7 @@ def test_split_boundary_invariance(spark, split_bytes):
     whole = sorted(map(tuple, sources.read_raw_multiline(spark, path).collect()))
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", split_bytes)
-        spark.conf.set("spark.sql.files.openCostInBytes", 0)
+        spark.conf.set("spark.sql.files.openCostInBytes", 1)
         lines = spark.read.text(path)
         n_splits = lines.rdd.getNumPartitions()
         assert n_splits > 8, "fixture did not split — test is vacuous"
@@ -141,7 +141,7 @@ def test_record_spanning_three_splits(spark, tmp_path):
     before = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", 512)
-        spark.conf.set("spark.sql.files.openCostInBytes", 0)
+        spark.conf.set("spark.sql.files.openCostInBytes", 1)
         assert spark.read.text(path).rdd.getNumPartitions() > 5
         out = sources.read_raw_multiline(spark, path).collect()
     finally:
@@ -289,7 +289,7 @@ def test_extraction_split_boundary_invariance(spark, split_bytes):
 
     whole = read()
     spark.conf.set("spark.sql.files.maxPartitionBytes", split_bytes)
-    spark.conf.set("spark.sql.files.openCostInBytes", 0)
+    spark.conf.set("spark.sql.files.openCostInBytes", 1)
     try:
         split = read()
     finally:
@@ -439,7 +439,7 @@ def test_assembly_matches_reference_model_property(spark, tmp_path):
         p.write_text("\n".join(lines) + "\n")
         want = sorted(_reference_assemble(lines))
         spark.conf.set("spark.sql.files.maxPartitionBytes", 256)
-        spark.conf.set("spark.sql.files.openCostInBytes", 0)
+        spark.conf.set("spark.sql.files.openCostInBytes", 1)
         try:
             got = sorted(
                 r["raw"] for r in
@@ -551,7 +551,7 @@ def test_extraction_matches_reference_model_property(spark, tmp_path):
             want.add((m.group(fmap["conv_id"]), m.group(fmap["role"]),
                       text, m.group(fmap["tool"]), m.group(fmap["ts"])))
         spark.conf.set("spark.sql.files.maxPartitionBytes", 256)
-        spark.conf.set("spark.sql.files.openCostInBytes", 0)
+        spark.conf.set("spark.sql.files.openCostInBytes", 1)
         try:
             got = {
                 (r.conv_id, r.role, r.text, r.tool,
