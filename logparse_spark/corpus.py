@@ -1374,8 +1374,20 @@ def _sem_oracle_centroids() -> list[list[float]]:
         import numpy as np
         import pyarrow.parquet as pq
 
-        t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
+        # derive from ORACLE_SF so a future sf change cannot silently
+        # leave the centroid literals pinned to a different scale than
+        # the rest of the oracle (function-level import: corpus is
+        # imported by queries, not vice versa)
+        from .queries import ORACLE_SF
+
+        path = f"/root/testdata/sf{ORACLE_SF}/embeddings.parquet"
+        try:
+            t = pq.read_table(path, columns=["vec_id", "embedding"])
+        except FileNotFoundError as e:
+            raise RuntimeError(
+                f"dedup_embed oracle needs the driver testdata at "
+                f"{path} (the kmeans/keep arms inline centroids "
+                f"replicated from it)") from e
         ids = t.column("vec_id").to_pylist()
         vecs = np.array(t.column("embedding").to_pylist(),
                         dtype=np.float64)

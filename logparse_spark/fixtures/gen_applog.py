@@ -101,19 +101,13 @@ def applog_fixture_dir(sf: str, base_dir: str = "/root/repo/data") -> str:
     return os.path.join(base_dir, "applog", f"sf{sf}")
 
 
+CONTENT_VERSION = 1
+
+
 def ensure_applog_fixture(sf: str, base_dir: str = "/root/repo/data") -> str:
     """Idempotently materialize the raw applog file; returns the path."""
-    d = applog_fixture_dir(sf, base_dir)
-    path = os.path.join(d, "raw.log")
-    marker = os.path.join(d, "_COMPLETE")
-    if os.path.exists(marker):
-        return path
-    os.makedirs(d, exist_ok=True)
-    n = SF_LINES.get(sf, 8_000)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        f.write("\n".join(gen_applog_lines(n)) + "\n")
-    os.replace(tmp, path)
-    with open(marker, "w") as f:
-        f.write("ok\n")
-    return path
+    from . import ensure_text_fixture
+
+    return ensure_text_fixture(
+        "applog", sf, gen_applog_lines, SF_LINES.get(sf, 8_000),
+        CONTENT_VERSION, base_dir=base_dir)

@@ -99,19 +99,14 @@ def multiline_fixture_dir(sf: str, base_dir: str = "/root/repo/data") -> str:
     return os.path.join(base_dir, "multiline", f"sf{sf}")
 
 
+# v2: blank continuation lines added (round 4, pinned semantics)
+CONTENT_VERSION = 2
+
+
 def ensure_multiline_fixture(sf: str, base_dir: str = "/root/repo/data") -> str:
     """Idempotently materialize the raw multiline log; returns the path."""
-    d = multiline_fixture_dir(sf, base_dir)
-    path = os.path.join(d, "raw.log")
-    marker = os.path.join(d, "_COMPLETE")
-    if os.path.exists(marker):
-        return path
-    os.makedirs(d, exist_ok=True)
-    n = SF_LINES.get(sf, 9_000)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        f.write("\n".join(gen_multiline_lines(n)) + "\n")
-    os.replace(tmp, path)
-    with open(marker, "w") as f:
-        f.write("ok\n")
-    return path
+    from . import ensure_text_fixture
+
+    return ensure_text_fixture(
+        "multiline", sf, gen_multiline_lines, SF_LINES.get(sf, 9_000),
+        CONTENT_VERSION, base_dir=base_dir)

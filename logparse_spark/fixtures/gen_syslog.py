@@ -101,19 +101,15 @@ def syslog_fixture_dir(sf: str, base_dir: str = "/root/repo/data") -> str:
     return os.path.join(base_dir, "syslog", f"sf{sf}")
 
 
+# bump when gen_syslog_lines' OUTPUT changes: the marker version makes
+# stale cached fixtures regenerate (fixtures.ensure_text_fixture)
+CONTENT_VERSION = 1
+
+
 def ensure_syslog_fixture(sf: str, base_dir: str = "/root/repo/data") -> str:
     """Idempotently materialize the raw log; returns the file path."""
-    d = syslog_fixture_dir(sf, base_dir)
-    path = os.path.join(d, "raw.log")
-    marker = os.path.join(d, "_COMPLETE")
-    if os.path.exists(marker):
-        return path
-    os.makedirs(d, exist_ok=True)
-    n = SF_LINES.get(sf, 12_000)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        f.write("\n".join(gen_syslog_lines(n)) + "\n")
-    os.replace(tmp, path)
-    with open(marker, "w") as f:
-        f.write("ok\n")
-    return path
+    from . import ensure_text_fixture
+
+    return ensure_text_fixture(
+        "syslog", sf, gen_syslog_lines, SF_LINES.get(sf, 12_000),
+        CONTENT_VERSION, base_dir=base_dir)

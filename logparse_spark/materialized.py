@@ -102,20 +102,92 @@ class SinkDailyCounts:
                 mode = "full"
         if mode == "full":
             merged = self._aggregate(ss.read_routed(spark))
+        # the summary is tiny (sinks x days): one file reads fastest;
+        # _publish stamps the outgoing version's SUPERSEDE time so the
+        # grace window runs from when readers could last load its
+        # pointer, not from when the dir was written
+        self._publish(merged, latest, prev=st)
+        return {"mode": mode, "snapshot": latest}
+
+    def aggregate_rows(self, df: DataFrame) -> list[tuple]:
+        """Collect the view aggregate of a SMALL row frame (a merge
+        batch / the conversations it replaces) as
+        [(sink_id, day, n)] — the bounded driver-side delta
+        apply_merge_delta consumes."""
+        return [(r["sink_id"], r["day"], int(r["n"]))
+                for r in self._aggregate(df).collect()]
+
+    def apply_merge_delta(self, spark: SparkSession,
+                          old_agg: list[tuple],
+                          new_agg: list[tuple]) -> dict:
+        """Maintain the view across ONE conversation-MERGE commit in
+        O(batch) instead of O(table): view' = view − agg(replaced
+        rows) + agg(merged rows).
+
+        A MERGE is a row-level modification, so ``changes()`` rightly
+        refuses it and plain ``refresh()`` degrades to a full
+        recompute — correct but a full table scan per micro-batch in
+        a CDC stream. The caller (streaming.upsert_stream) instead
+        pre-aggregates the rows it is about to replace (bucket-pruned
+        read_conversations) and the rows it merges; both deltas are
+        sinks x days of ONE batch, collected driver-side, so this
+        update never rescans the table.
+
+        Safety: the delta applies ONLY when the view watermark is
+        exactly the pre-merge snapshot (the merge committed one
+        snapshot). Anything else — fresh view, a crash between a
+        previous merge and its view update, an interleaved writer —
+        falls back to one full ``refresh()`` re-baseline, after which
+        deltas resume. Replay-convergent like the merge itself: a
+        replayed batch's old_agg EQUALS its new_agg (the first
+        attempt already landed those rows), so the delta is zero."""
+        ss = SinkSet(out_dir=self.table_dir)
+        latest = len(ss.snapshots()) - 1
+        st = self._state()
+        if st is None or st["snapshot"] != latest - 1:
+            return self.refresh(spark)
+        schema = "sink_id string, day timestamp_ntz, n long"
+        cur = self.read(spark)
+        parts = [cur]
+        if new_agg:
+            parts.append(spark.createDataFrame(new_agg, schema))
+        if old_agg:
+            parts.append(
+                spark.createDataFrame(old_agg, schema)
+                .withColumn("n", -F.col("n")))
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        merged = (
+            merged.groupBy("sink_id", "day").agg(F.sum("n").alias("n"))
+            .filter(F.col("n") != 0)
+        )
+        self._publish(merged, latest, prev=st)
+        return {"mode": "delta", "snapshot": latest}
+
+    def _publish(self, merged: DataFrame, snapshot: int,
+                 prev: dict | None) -> None:
+        """Write a new view version and atomically repoint, stamping
+        the outgoing version's supersede time for the grace sweep."""
         new = f"v{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.view_dir, new)
-        # the summary is tiny (sinks x days): one file reads fastest
         merged.coalesce(1).write.mode("overwrite").parquet(out)
         _atomic_write_json(self._state_path(),
-                           {"snapshot": latest, "data": new})
+                           {"snapshot": snapshot, "data": new})
+        if prev:
+            try:
+                os.utime(os.path.join(self.view_dir, prev["data"]))
+            except OSError:
+                pass
         self._sweep_stale(current=new)
-        return {"mode": mode, "snapshot": latest}
 
     def _sweep_stale(self, current: str | None) -> None:
         """Delete superseded ``v*`` version dirs older than the grace
-        window. Never touches the current pointer target; a version
-        that was JUST superseded survives until it ages out, so
-        in-flight readers of the old pointer finish cleanly."""
+        window, measured from their SUPERSEDE time (refresh() touches
+        the outgoing dir at the pointer swap). Never touches the
+        current pointer target; a version that was JUST superseded
+        survives until it ages out, so in-flight readers of the old
+        pointer finish cleanly."""
         cutoff = time.time() - self.min_age_minutes * 60.0
         try:
             entries = os.listdir(self.view_dir)

@@ -278,6 +278,16 @@ def _parse_config(
             except re.error as e:
                 raise RuleSyntaxError(
                     f"line {lineno}: bad multiline regex: {e}") from e
+            # the directive ALWAYS executes JVM-side (rlike assembly,
+            # regexp_extract extraction) — Python-only syntax must
+            # fail here, not deep inside the Spark job
+            bad_ctor = check_java_portable(pat)
+            if bad_ctor is not None:
+                raise RuleSyntaxError(
+                    f"line {lineno}: multiline regex uses {bad_ctor!r}, "
+                    f"a Python-only construct — the directive runs "
+                    f"JVM-side (Java regex); use numeric groups / grok "
+                    f"fields or Java syntax")
             multiline = (pat, tuple(fields.items()), ts_fmt)
             continue
         m = _RULE_RE.match(line)
@@ -300,7 +310,10 @@ def _parse_config(
             if rest:
                 raise RuleSyntaxError(f"line {lineno}: ignore takes no template")
         elif action == "count":
-            rest, min_agg, top_k = _split_tail_opts(rest)
+            try:
+                rest, min_agg, top_k = _split_tail_opts(rest)
+            except RuleSyntaxError as e:
+                raise RuleSyntaxError(f"line {lineno}: {e}") from e
             # key template; bare "{1}" or quoted "...{1}..."
             if not rest:
                 raise RuleSyntaxError(f"line {lineno}: count needs a key template")
@@ -309,7 +322,10 @@ def _parse_config(
             # sum {n} [key "TEMPLATE"] [min N] [top N] — {n} is the
             # numeric VALUE capture; the key defaults to one
             # accumulator per rule (rendered under the rule's name)
-            rest, min_agg, top_k = _split_tail_opts(rest)
+            try:
+                rest, min_agg, top_k = _split_tail_opts(rest)
+            except RuleSyntaxError as e:
+                raise RuleSyntaxError(f"line {lineno}: {e}") from e
             ms = re.match(
                 r'^\{(\d+|[A-Za-z]\w*)\}(?:\s+key\s+(?P<key>".*"|\S+))?$',
                 rest)

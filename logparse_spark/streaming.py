@@ -193,16 +193,17 @@ def upsert_stream(
     instead of an append.
 
     ``view_dir`` (optional) keeps a ``SinkDailyCounts`` materialized
-    view CURRENT per micro-batch: after each merge commits, the same
-    foreachBatch hook calls ``refresh()`` — the streaming twin of the
-    batch-incremental view (materialized.py). Replay-convergent for
-    free: refresh derives purely from the committed table state, so a
-    replayed batch (merge re-applied, then refresh re-run) lands the
-    view in the identical state. Because a MERGE is a row-level
-    modification snapshot, ``changes()`` refuses to cross it and each
-    refresh degrades to a full recompute of the (tiny, sinks x days)
-    summary — exactly Iceberg's IncrementalAppendScan contract;
-    append-only maintenance keeps the incremental path.
+    view CURRENT per micro-batch, in O(batch) not O(table): a MERGE
+    is a row-level modification, so the view cannot ride
+    ``changes()`` — instead the hook pre-aggregates the rows the
+    merge will REPLACE (bucket-pruned ``read_conversations`` over the
+    batch's conv set, collected before the merge) and the rows it
+    lands, and applies view' = view − old + new
+    (``SinkDailyCounts.apply_merge_delta``). Replay-convergent: a
+    replayed batch finds old == new, a zero delta. Any watermark gap
+    (crash between merge and view update, interleaved writer, fresh
+    view) degrades to ONE full ``refresh()`` re-baseline, then deltas
+    resume.
 
     Delivery semantics: foreachBatch is at-least-once (a batch whose
     merge committed but whose checkpoint did not is REPLAYED). The
@@ -241,13 +242,36 @@ def upsert_stream(
         view = SinkDailyCounts(table_dir, view_dir)
 
     def process_batch(df: DataFrame, batch_id: int) -> None:
+        spark_b = df.sparkSession
         cdf = classify(
             df, compiled, role_dict, tool_dict,
             buckets=int(nb), engine=engine,
         )
-        SinkSet(out_dir=table_dir).merge_classified(df.sparkSession, cdf)
+        old_agg = new_agg = None
         if view is not None:
-            view.refresh(df.sparkSession)
+            from pyspark.storagelevel import StorageLevel
+
+            # one parse for both the delta aggregate and the merge
+            cdf = cdf.persist(StorageLevel.MEMORY_AND_DISK)
+            # O(batch) view deltas, both collected BEFORE the merge:
+            # the replaced rows via the bucket-pruned batch lookup,
+            # the incoming rows from the classified frame itself
+            ids = [r["conv_id"] for r in
+                   df.select("conv_id").distinct().collect()]
+            ss0 = SinkSet(out_dir=table_dir)
+            try:
+                old_agg = view.aggregate_rows(
+                    ss0.read_conversations(spark_b, ids)) if ids else []
+            except FileNotFoundError:
+                old_agg = []  # nothing committed yet
+            new_agg = view.aggregate_rows(cdf)
+        try:
+            SinkSet(out_dir=table_dir).merge_classified(spark_b, cdf)
+            if view is not None:
+                view.apply_merge_delta(spark_b, old_agg, new_agg)
+        finally:
+            if view is not None:
+                cdf.unpersist()
 
     sdf = stream_transcripts(spark, source_dir, glob_filter=glob_filter)
     writer = (

@@ -154,3 +154,80 @@ def test_table_reset_rebaselines_not_crashes(spark, committed_run,
     SinkSet(out_dir=table).compact(spark, min_files_per_partition=1)
     assert mv.refresh(spark)["mode"] == "incremental"
     assert _view(spark, mv) == _truth(spark, table)
+
+
+def test_supersede_clock_not_write_mtime(spark, committed_run, tmp_path):
+    """The grace window runs from SUPERSEDE time: a version written
+    long ago must still survive the swap that replaces it (its mtime
+    is re-stamped at the swap)."""
+    import os
+    import time as _time
+
+    table = str(tmp_path / "t")
+    shutil.copytree(committed_run, table)
+    mv = materialized.SinkDailyCounts(table, str(tmp_path / "view"))
+    mv.refresh(spark)
+    v1 = mv._state()["data"]
+    v1_path = os.path.join(mv.view_dir, v1)
+    # simulate a long gap between refreshes: v1 was WRITTEN 2h ago
+    old = _time.time() - 7200
+    os.utime(v1_path, (old, old))
+    SinkSet(out_dir=table).compact(spark, min_files_per_partition=1)
+    mv.refresh(spark)  # swaps to v2, sweeps with default 30-min grace
+    assert mv._state()["data"] != v1
+    # under the old write-mtime clock v1 would be gone already
+    assert os.path.isdir(v1_path)
+
+
+def test_apply_merge_delta_modes(spark, committed_run, fixture_sf_small,
+                                 tmp_path):
+    """apply_merge_delta: O(batch) maintenance across a merge —
+    delta mode when the watermark is the pre-merge snapshot, full
+    re-baseline on any gap, zero-delta on replay."""
+    import datetime
+
+    from logparse_spark import pipeline as pl
+
+    table = str(tmp_path / "t")
+    shutil.copytree(committed_run, table)
+    mv = materialized.SinkDailyCounts(table, str(tmp_path / "view"))
+    mv.refresh(spark)
+
+    ss = SinkSet(out_dir=table)
+    victim = ss._read_committed(spark).select("conv_id").first()["conv_id"]
+    old_agg = mv.aggregate_rows(ss.read_conversations(spark, [victim]))
+    assert old_agg  # the victim contributes to the view
+    ts = datetime.datetime(2026, 5, 1)
+    from logparse_spark.rules import load_rules
+    from logparse_spark.sinks import load_manifest
+
+    cdf = pl.classify(
+        spark.createDataFrame(
+            [(victim, 0, "assistant",
+              "login failed for user mvd from 9.9.9.9", None, ts)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"),
+        load_rules(RULES), None, None,
+        buckets=int(load_manifest(table)["n_buckets"]))
+    new_agg = mv.aggregate_rows(cdf)
+    SinkSet(out_dir=table).merge_classified(spark, cdf)
+    res = mv.apply_merge_delta(spark, old_agg, new_agg)
+    assert res["mode"] == "delta"
+    assert _view(spark, mv) == _truth(spark, table)
+
+    # replay convergence: old == new now -> delta is numerically zero
+    ss2 = SinkSet(out_dir=table)
+    old2 = mv.aggregate_rows(ss2.read_conversations(spark, [victim]))
+    assert sorted(old2) == sorted(new_agg)
+    ss2.merge_classified(spark, cdf)
+    res2 = mv.apply_merge_delta(spark, old2, new_agg)
+    assert res2["mode"] == "delta"
+    assert _view(spark, mv) == _truth(spark, table)
+
+    # watermark gap (a merge the view never saw) -> full re-baseline
+    SinkSet(out_dir=table).merge_classified(spark, cdf)
+    SinkSet(out_dir=table).merge_classified(spark, cdf)
+    res3 = mv.apply_merge_delta(spark, [], [])
+    assert res3["mode"] == "full"
+    assert _view(spark, mv) == _truth(spark, table)
+
