@@ -193,3 +193,40 @@ def test_table_tool_cli(tmp_path, fixture_sf_small, spark):
     ss4 = SinkSet(out_dir=out_dir)
     assert ss4.snapshots()[-1].get("rebucket_to") == new_n
     assert ss4.read_conversation(spark, conv).count() > 0
+
+
+def test_spark_submit_applog_extraction(tmp_path):
+    """The ship path for NON-syslog raw ingest: spark-submit --py-files
+    + --source-format multiline with an extraction-template rules file
+    parses raw Java app logs end to end (assembly + header extraction
+    + sum/count rules + report), all through the real CLI."""
+    from logparse_spark.fixtures.gen_applog import ensure_applog_fixture
+
+    zpath = build_pyfiles_zip(str(tmp_path))
+    out_dir = str(tmp_path / "routed_applog")
+    report = str(tmp_path / "applog_report.txt")
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", zpath,
+        "/root/repo/jobs/submit_pipeline.py",
+        "--source", ensure_applog_fixture("0.001"),
+        "--source-format", "multiline",
+        "--out", out_dir,
+        "--rules", "/root/repo/rules/applog.rules",
+        "--buckets", "8", "--groups", "1",
+        "--report", report,
+    ]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=300, cwd=str(tmp_path)
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["rows"] == 700  # every assembled record accounted for
+    with open(report, encoding="utf-8") as f:
+        txt = f.read()
+    assert "rule timeouts (sum):" in txt
+    assert "timeout_ms:" in txt          # the sum accumulator rendered
+    assert "rule requests (count):" in txt
