@@ -18,6 +18,11 @@ import os
 from .gen_transcripts import ensure_fixture
 
 
+# bump when the serialized output changes (marker versioning — see
+# fixtures.ensure_text_fixture's rationale)
+CONTENT_VERSION = 1
+
+
 def jsonl_fixture_path(sf: str) -> str:
     return os.path.join(ensure_fixture(sf), "transcripts.jsonl")
 
@@ -30,10 +35,14 @@ def ensure_jsonl_fixture(sf: str, out_path: str | None = None) -> str:
     from under a parallel test run."""
     import pyarrow.parquet as pq
 
+    from . import marker_current, stamp_marker
+
     d = ensure_fixture(sf)
     path = out_path or jsonl_fixture_path(sf)
     marker = path + "._COMPLETE"
-    if out_path is None and os.path.exists(marker):
+    tag = f"v{CONTENT_VERSION}\n"
+    if out_path is None and marker_current(marker, tag) \
+            and os.path.exists(path):
         return path
     tbl = pq.read_table(os.path.join(d, "transcripts.parquet"))
     cols = tbl.to_pydict()
@@ -50,6 +59,5 @@ def ensure_jsonl_fixture(sf: str, out_path: str | None = None) -> str:
             }
             f.write(json.dumps(row) + "\n")
     os.replace(tmp, path)
-    with open(marker, "w") as f:
-        f.write("ok\n")
+    stamp_marker(marker, tag)
     return path

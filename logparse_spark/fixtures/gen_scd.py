@@ -24,13 +24,19 @@ PIVOT = datetime(2026, 1, 3, 0, 0, 0)
 LO = datetime(1970, 1, 1)
 HI = datetime(2100, 1, 1)
 
+# bump when the derived history changes (marker versioning)
+CONTENT_VERSION = 1
+
 
 def ensure_role_hist(sf: str, base_dir: str = "/root/repo/data") -> str:
     """Idempotently derive role_hist.parquet next to the sf's dicts."""
+    from . import marker_current, stamp_marker
+
     d = os.path.join(base_dir, "transcripts", f"sf{sf}")
     path = os.path.join(d, "role_hist.parquet")
     marker = path + "._COMPLETE"
-    if os.path.exists(marker):
+    tag = f"v{CONTENT_VERSION}\n"
+    if marker_current(marker, tag) and os.path.exists(path):
         return path
     src = pq.read_table(os.path.join(d, "role_dict.parquet")).to_pydict()
     roles, classes = src["role"], src["role_class"]
@@ -49,6 +55,5 @@ def ensure_role_hist(sf: str, base_dir: str = "/root/repo/data") -> str:
     tmp = path + ".tmp"
     pq.write_table(t, tmp)
     os.replace(tmp, path)
-    with open(marker, "w") as f:
-        f.write("ok\n")
+    stamp_marker(marker, tag)
     return path

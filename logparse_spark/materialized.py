@@ -168,17 +168,23 @@ class SinkDailyCounts:
     def _publish(self, merged: DataFrame, snapshot: int,
                  prev: dict | None) -> None:
         """Write a new view version and atomically repoint, stamping
-        the outgoing version's supersede time for the grace sweep."""
+        the outgoing version's supersede time for the grace sweep.
+        The stamp happens BEFORE the pointer swap: a crash between
+        the two leaves the old version both current and freshly
+        stamped (harmless), whereas stamping after would leave a
+        crash window in which a long-lived version is superseded but
+        still carries its ancient write mtime — and the next sweep
+        would delete it out from under in-flight readers."""
         new = f"v{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.view_dir, new)
         merged.coalesce(1).write.mode("overwrite").parquet(out)
-        _atomic_write_json(self._state_path(),
-                           {"snapshot": snapshot, "data": new})
         if prev:
             try:
                 os.utime(os.path.join(self.view_dir, prev["data"]))
             except OSError:
                 pass
+        _atomic_write_json(self._state_path(),
+                           {"snapshot": snapshot, "data": new})
         self._sweep_stale(current=new)
 
     def _sweep_stale(self, current: str | None) -> None:

@@ -247,17 +247,19 @@ def upsert_stream(
             df, compiled, role_dict, tool_dict,
             buckets=int(nb), engine=engine,
         )
-        old_agg = new_agg = None
-        if view is not None:
-            from pyspark.storagelevel import StorageLevel
+        if view is None:
+            SinkSet(out_dir=table_dir).merge_classified(spark_b, cdf)
+            return
+        from pyspark.storagelevel import StorageLevel
 
-            # one parse for both the delta aggregate and the merge
-            cdf = cdf.persist(StorageLevel.MEMORY_AND_DISK)
+        # one parse for the delta aggregates, the ids and the merge
+        cdf = cdf.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
             # O(batch) view deltas, both collected BEFORE the merge:
             # the replaced rows via the bucket-pruned batch lookup,
             # the incoming rows from the classified frame itself
             ids = [r["conv_id"] for r in
-                   df.select("conv_id").distinct().collect()]
+                   cdf.select("conv_id").distinct().collect()]
             ss0 = SinkSet(out_dir=table_dir)
             try:
                 old_agg = view.aggregate_rows(
@@ -265,13 +267,16 @@ def upsert_stream(
             except FileNotFoundError:
                 old_agg = []  # nothing committed yet
             new_agg = view.aggregate_rows(cdf)
-        try:
-            SinkSet(out_dir=table_dir).merge_classified(spark_b, cdf)
-            if view is not None:
+            res = SinkSet(out_dir=table_dir).merge_classified(spark_b, cdf)
+            # gate on the merge actually COMMITTING a snapshot: an
+            # empty batch commits nothing, and blindly applying a
+            # zero delta then would let apply_merge_delta's
+            # watermark arithmetic mistake a concurrent writer's
+            # snapshot for ours and silently skip its rows
+            if res.get("rewritten_buckets") or res.get("rows_inserted"):
                 view.apply_merge_delta(spark_b, old_agg, new_agg)
         finally:
-            if view is not None:
-                cdf.unpersist()
+            cdf.unpersist()
 
     sdf = stream_transcripts(spark, source_dir, glob_filter=glob_filter)
     writer = (
