@@ -1086,16 +1086,34 @@ def semantic_dedup(emb: DataFrame, k: int = 16, n_iter: int = 3,
     )
 
 
+def shard_column(key_col: str = "doc_id", n_shards: int = 8):
+    """Content-stable, ENGINE-PORTABLE shard id from a key column:
+    ``conv(substr(md5(key), 1, 15), 16, 10) % n_shards``.
+
+    Same rationale as :func:`split_column` (hash of content, never
+    rand/partition-dependent functions), chosen over xxhash64 because
+    md5's hex is identical in every engine in play — DuckDB computes
+    the same id via ``CAST('0x' || substr(md5(k), 1, 15) AS BIGINT)``
+    — so shard placement sits inside the driver's oracle hard signal.
+    15 hex chars = 60 bits, safely inside BIGINT, ample for modulo
+    uniformity at any practical shard count."""
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    return F.pmod(h, F.lit(n_shards)).cast("int")
+
+
 def export_jsonl(df: DataFrame, out_dir: str, n_shards: int = 8,
                  key_col: str = "doc_id",
                  order_by: tuple = ("doc_id",),
                  max_records_per_file: int | None = None) -> dict:
     """Dataloader-ready sharded JSONL export — the handoff from the
     curated table to tokenizer/training jobs, deterministic end to
-    end: shard membership is ``pmod(xxhash64(key), n_shards)``
+    end: shard membership is :func:`shard_column`'s md5-prefix hash
     (content-stable — re-exports and different cluster sizes place
     every document in the same shard, so downstream shard-level
-    caching/resume holds), rows within a shard are written in
+    caching/resume holds — and engine-portable, so the placement
+    function itself is oracle-checked via doc_features' ``shard``
+    column), rows within a shard are written in
     ``order_by`` order, and the layout is ``shard=N/part-*.json``
     (dynamic partition write; ``max_records_per_file`` rolls files to
     a dataloader-friendly size). One hash shuffle total. Returns
@@ -1110,10 +1128,7 @@ def export_jsonl(df: DataFrame, out_dir: str, n_shards: int = 8,
         raise ValueError(f"n_shards must be >= 1: {n_shards}")
     obs = Observation()
     out = (
-        df.withColumn(
-            "shard",
-            F.pmod(F.xxhash64(F.col(key_col).cast("string")),
-                   F.lit(n_shards)).cast("int"))
+        df.withColumn("shard", shard_column(key_col, n_shards))
         .repartition(n_shards, "shard")
         .sortWithinPartitions("shard", *order_by)
         .observe(obs, F.count(F.lit(1)).alias("rows"))
@@ -1626,7 +1641,9 @@ def corpus_oracles() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[a-z]+'))
                    + len(regexp_extract_all(text, '[0-9]+'))
                    + len(regexp_extract_all(lower(text), '[^a-z0-9 ]+')) AS n_bpe,
-                   {split_case_sql()} AS split
+                   {split_case_sql()} AS split,
+                   CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             AS BIGINT) % 8 AS INTEGER) AS shard
             FROM ({words_cte})
         """,
         "lang_id": f"""
@@ -1896,9 +1913,12 @@ def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_num.cast("long").alias("n_num"),
         n_other.cast("long").alias("n_other"),
         (n_alpha + n_num + n_other).cast("long").alias("n_bpe"),
-        # deterministic hash split rides the same feature table — the
-        # column a curation pipeline partitions its exports by
+        # deterministic hash split + export shard placement ride the
+        # same feature table — the columns a curation pipeline
+        # partitions its exports by; surfacing shard here puts
+        # export_jsonl's placement function inside the oracle gate
         split_column().alias("split"),
+        shard_column("doc_id", 8).alias("shard"),
     )
 
 
