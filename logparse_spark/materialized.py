@@ -140,7 +140,14 @@ class SinkDailyCounts:
         falls back to one full ``refresh()`` re-baseline, after which
         deltas resume. Replay-convergent like the merge itself: a
         replayed batch's old_agg EQUALS its new_agg (the first
-        attempt already landed those rows), so the delta is zero."""
+        attempt already landed those rows), so the delta is zero.
+
+        Single-maintainer by design (one upsert stream per view, the
+        normal streaming topology): two concurrent appliers are
+        still SAFE — each one's watermark check sees the other's
+        snapshot and degrades to a full refresh, and the last
+        pointer swap wins over a state the next refresh()
+        re-converges — just not incremental."""
         ss = SinkSet(out_dir=self.table_dir)
         latest = len(ss.snapshots()) - 1
         st = self._state()
