@@ -1277,13 +1277,33 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON payload extraction + aggregate (get_json_object, JVM-side)."""
-    df = _events(spark, sf_dir).withColumn(
+    """JSON payload breadth, tagged union (part='path' | 'map').
+
+    part='path': scalar extraction + aggregate (get_json_object,
+    JVM-side) — the point-path read.
+
+    part='map': the structured-payload shape SURVEY §2.3 reserved —
+    ``from_json`` to ``map<string,string>`` + ``explode`` (the
+    MapType + generator surface), aggregated per JSON KEY: the query
+    you run when payload schemas are open-ended and you need the key
+    census before committing to columns. The DuckDB twin walks
+    ``json_keys``/``json_extract_string``. Both arms are one scan +
+    one partial+final aggregate."""
+    ev = _events(spark, sf_dir)
+    path = ev.withColumn(
         "k", F.get_json_object("props", "$.k").cast("long")
-    )
-    return df.groupBy("event_type").agg(
+    ).groupBy("event_type").agg(
         F.sum("k").alias("sum_k"), F.count("*").alias("n")
-    )
+    ).select(F.lit("path").alias("part"),
+             F.col("event_type").alias("key"), "sum_k", "n")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,string>"))
+        .alias("key", "val"))
+    mp = kv.groupBy("key").agg(
+        F.sum(F.col("val").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(F.lit("map").alias("part"), "key", "sum_k", "n")
+    return path.unionByName(mp)
 
 
 def _sessionize_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1800,10 +1820,18 @@ def corpus_oracles() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "events_json": """
-            SELECT event_type,
+            SELECT 'path' AS part, event_type AS key,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS n
-            FROM events GROUP BY 1
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'map' AS part, key,
+                   CAST(sum(CAST(json_extract_string(props, '$.' || key)
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(*) AS n
+            FROM (SELECT props, unnest(json_keys(props)) AS key
+                  FROM events)
+            GROUP BY 2
         """,
         "sessionize": """
             WITH x AS (
