@@ -257,3 +257,29 @@ def test_winnowing_guarantee_and_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     with pytest.raises(ValueError):
         corpus.winnow_fingerprints(docs, k=0)
+
+
+def test_new_ops_partition_stable(spark):
+    """North-rule N-vs-4N equality discipline for the round-4 ops:
+    decontaminate and winnow_fingerprints are row-local by
+    construction — pinned here across 1 vs 13 input partitions."""
+    from logparse_spark import corpus
+
+    schema = "doc_id long, text string"
+    rows = [(i, f"alpha beta gamma delta epsilon zeta eta theta doc {i} "
+                f"tail words number {i * 7 % 13}") for i in range(40)]
+    docs = spark.createDataFrame(rows, schema)
+    bench = spark.createDataFrame(rows[:3], schema)
+
+    def fp(df):
+        return sorted(map(tuple,
+                          corpus.winnow_fingerprints(df).collect()))
+
+    def dc(df, b):
+        return sorted(map(tuple,
+                          corpus.decontaminate(df, b, n=8).collect()))
+
+    assert fp(docs.repartition(1)) == fp(docs.repartition(13))
+    assert dc(docs.repartition(1), bench.repartition(1)) == \
+        dc(docs.repartition(13), bench.repartition(13))
+    assert len(fp(docs)) > 0 and len(dc(docs, bench)) > 0
