@@ -200,3 +200,71 @@ def test_load_rules_composes_multiple_files(tmp_path):
     dup.write_text("rule one match /zzz/ ignore\n")
     with pytest.raises(RuleSyntaxError, match="duplicate"):
         load_rules([str(a), str(dup)])
+
+
+def test_dsl_fuzz_roundtrip_and_sql_generation():
+    """Property fuzz over the DSL surface: random rule files (names,
+    literal-ish patterns including QUOTES, actions, /i flags, min/top
+    clauses) must compile with order preserved, and the generated
+    DuckDB dispatch CASE must actually EXECUTE in DuckDB against the
+    patterns verbatim — the escaping path (_sql_quote) that every
+    oracle depends on, exercised with hostile characters instead of
+    only fixture patterns."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from logparse_spark.rules import compile_rules, dispatch_case_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT 'abc ''x'' 12' AS text, "
+                "'tool(arg=a)' AS tool")
+
+    word = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+    # literal-safe pattern pieces; ' stresses SQL quoting, . and \\d
+    # stress regex passthrough
+    piece = st.sampled_from(
+        ["abc", "x y", "'", "12", r"\d", ".", "ab'cd", r"z\d+"])
+    pattern = st.lists(piece, min_size=1, max_size=4).map("".join)
+    action = st.sampled_from([
+        "ignore", 'count "k {0}"', 'report "saw {0}"',
+    ])
+    flag = st.sampled_from(["", "i"])
+    tail = st.sampled_from(["", " min 2", " top 3", " top 3 min 2"])
+
+    rule = st.tuples(word, pattern, action, flag, tail)
+
+    @settings(max_examples=40, deadline=None)
+    @given(rules=st.lists(rule, min_size=1, max_size=6))
+    def check(rules):
+        lines, names, used = [], [], set()
+        for i, (name, pat, act, fl, tl) in enumerate(rules):
+            name = f"{name}{i}"  # unique; DSL rejects duplicates
+            if name in used:
+                return
+            used.add(name)
+            t = tl if act.startswith(("count", "report")) else ""
+            if act.startswith("report") and t:
+                t = ""  # min/top are count/sum-only clauses
+            lines.append(f"rule {name} match /{pat}/{fl} {act}{t}")
+            names.append(name)
+        text = "\n".join(lines)
+        try:
+            c = compile_rules(text)
+        except Exception:
+            # some random pattern combos are invalid regex ("..+*"
+            # style) — rejection with RuleSyntaxError is fine; what
+            # must never happen is a compile that then breaks SQL
+            from logparse_spark.rules import RuleSyntaxError
+            import re as _re
+            for _, pat, _, fl, _ in rules:
+                p = f"(?i:{pat})" if fl else pat
+                try:
+                    _re.compile(p)
+                except _re.error:
+                    return  # legitimately bad regex
+            raise
+        assert [r.spec.name for r in c.rules] == names  # order held
+        sql = dispatch_case_sql(c)
+        con.execute(f"SELECT {sql} AS s FROM t").fetchall()  # executes
+
+    check()
