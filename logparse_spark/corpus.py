@@ -1025,7 +1025,11 @@ def kmeans_fit_assign(emb: DataFrame, k: int = 8, n_iter: int = 5,
         )
         new = {c: list(old) for c, old in enumerate(cents)}
         for r in upd:
-            new[r["cluster"]][r["pos"]] = float(r["m"])
+            # quantized so the independent oracle replication (numpy
+            # sequential mean vs this avg()'s partition-merge order)
+            # lands on bit-identical centroid literals — see
+            # _quantize_cent
+            new[r["cluster"]][r["pos"]] = _quantize_cent(r["m"])
         cents = [new[c] for c in range(k)]
     return assign(emb), cents
 
@@ -1393,6 +1397,20 @@ _BAND_STAR_PAIRS = """
 
 _SEM_CENTS_CACHE: list[list[float]] | None = None
 
+# Centroid quantization (both engines): Spark's avg() sums partition
+# merges in a nondeterministic order, the numpy replication sums
+# sequentially — last-ulp centroid differences could flip an argmin on
+# a near-tie. Rounding every UPDATED centroid coordinate to the same
+# fixed decimal width on both sides (Python round(), not np.round,
+# whose scaled-rint halves differ from decimal-correct rounding)
+# removes the fragility: a flip now needs the true coordinate within
+# ~5e-10 of a rounding boundary AND the engines on opposite sides.
+_CENT_DECIMALS = 9
+
+
+def _quantize_cent(x: float) -> float:
+    return round(float(x), _CENT_DECIMALS)
+
 
 def _sem_oracle_centroids() -> list[list[float]]:
     """Centroids for the dedup_embed kmeans/keep oracle arms: an
@@ -1436,7 +1454,8 @@ def _sem_oracle_centroids() -> list[list[float]]:
             a = d.argmin(axis=1)
             for c in range(_SEM_K):
                 if (a == c).any():
-                    cents[c] = vecs[a == c].mean(axis=0)
+                    cents[c] = [_quantize_cent(v)
+                                for v in vecs[a == c].mean(axis=0)]
         _SEM_CENTS_CACHE = [[float(x) for x in c] for c in cents]
     return _SEM_CENTS_CACHE
 
@@ -1485,15 +1504,32 @@ def corpus_oracles() -> dict[str, str]:
     nb_b = _dot64("b.embedding", "b.embedding", "duckdb")
     sim_ab = f"({dot_ab} / (sqrt({na_a}) * sqrt({nb_b})))"
 
-    cents = _sem_oracle_centroids()
-    dist_cols = ", ".join(
-        f"{_sem_dist_sql(c)} AS d{i}" for i, c in enumerate(cents))
-    least_all = "least(" + ", ".join(
-        f"d{i}" for i in range(len(cents))) + ")"
-    argmin_case = "CASE " + " ".join(
-        f"WHEN d{i} = m THEN {i}" for i in range(len(cents))) + " END"
+    # The dedup_embed kmeans/keep arms inline centroid literals
+    # replicated from the driver's embeddings parquet. On a host
+    # without that testdata the replication cannot run — degrade to
+    # omitting ONLY the centroid-dependent entry (with a loud
+    # warning) instead of failing the whole 50-entry catalog build
+    # (the Spark twin of that entry needs the same data anyway).
+    try:
+        cents = _sem_oracle_centroids()
+    except RuntimeError as e:
+        import warnings
 
-    return {
+        warnings.warn(
+            f"omitting the dedup_embed oracle (centroid replication "
+            f"unavailable): {e}", stacklevel=2)
+        cents = None
+    if cents is not None:
+        dist_cols = ", ".join(
+            f"{_sem_dist_sql(c)} AS d{i}" for i, c in enumerate(cents))
+        least_all = "least(" + ", ".join(
+            f"d{i}" for i in range(len(cents))) + ")"
+        argmin_case = "CASE " + " ".join(
+            f"WHEN d{i} = m THEN {i}" for i in range(len(cents))) + " END"
+    else:
+        dist_cols = least_all = argmin_case = "NULL"
+
+    out = {
         "dedup_embed": f"""
             WITH RECURSIVE bkt AS (
               SELECT e.vec_id, e.embedding, {bucket_e} AS bucket
@@ -1821,13 +1857,13 @@ def corpus_oracles() -> dict[str, str]:
         """,
         "events_json": """
             SELECT 'path' AS part, event_type AS key,
-                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY 2
             UNION ALL
             SELECT 'map' AS part, key,
-                   CAST(sum(CAST(json_extract_string(props, '$.' || key)
-                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(sum(TRY_CAST(json_extract_string(props, '$.' || key)
+                                     AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS n
             FROM (SELECT props, unnest(json_keys(props)) AS key
                   FROM events)
@@ -1874,6 +1910,9 @@ def corpus_oracles() -> dict[str, str]:
         "asof_clicks": _ASOF_ORACLE,
         "range_join_events": _RANGE_JOIN_ORACLE,
     }
+    if cents is None:
+        out.pop("dedup_embed")
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -34,6 +34,10 @@ from pyspark.sql import functions as F
 
 from .sinks import SinkSet, _atomic_write_json
 
+# written into a superseded version dir when the supersede-time utime
+# stamp fails; _sweep_stale ages the dir from max(mtime, sidecar)
+_SUPERSEDE_SIDECAR = "_superseded_at"
+
 
 class SinkDailyCounts:
     """rows per (sink_id, day) — the running ops dashboard table."""
@@ -185,16 +189,32 @@ class SinkDailyCounts:
         new = f"v{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.view_dir, new)
         merged.coalesce(1).write.mode("overwrite").parquet(out)
+        skip = None
         if prev:
+            pdir = os.path.join(self.view_dir, prev["data"])
             try:
-                os.utime(os.path.join(self.view_dir, prev["data"]))
+                os.utime(pdir)
             except OSError:
-                pass
+                # supersede stamp failed: the outgoing version keeps
+                # its ORIGINAL write mtime, so a long-lived version
+                # would look sweep-eligible the instant it is
+                # superseded — exactly the premature-deletion window
+                # the grace period exists to close. Fall back to a
+                # sidecar supersede-timestamp file (_sweep_stale takes
+                # max(mtime, sidecar)); if even that write fails,
+                # exclude the dir from this cycle's sweep.
+                try:
+                    with open(os.path.join(pdir, _SUPERSEDE_SIDECAR),
+                              "w", encoding="utf-8") as f:
+                        f.write(repr(time.time()))
+                except OSError:
+                    skip = prev["data"]
         _atomic_write_json(self._state_path(),
                            {"snapshot": snapshot, "data": new})
-        self._sweep_stale(current=new)
+        self._sweep_stale(current=new, skip=skip)
 
-    def _sweep_stale(self, current: str | None) -> None:
+    def _sweep_stale(self, current: str | None,
+                     skip: str | None = None) -> None:
         """Delete superseded ``v*`` version dirs older than the grace
         window, measured from their SUPERSEDE time (refresh() touches
         the outgoing dir at the pointer swap). Never touches the
@@ -207,11 +227,20 @@ class SinkDailyCounts:
         except FileNotFoundError:
             return
         for name in entries:
-            if name == current or not name.startswith("v"):
+            if name == current or name == skip or not name.startswith("v"):
                 continue
             p = os.path.join(self.view_dir, name)
             try:
-                if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                if not os.path.isdir(p):
+                    continue
+                stamp = os.path.getmtime(p)
+                try:
+                    with open(os.path.join(p, _SUPERSEDE_SIDECAR),
+                              encoding="utf-8") as f:
+                        stamp = max(stamp, float(f.read().strip()))
+                except (OSError, ValueError):
+                    pass
+                if stamp < cutoff:
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 continue

@@ -26,7 +26,10 @@ def _numpy_reference(ids, vecs, k, n_iter):
         a = d.argmin(axis=1)  # ties -> lowest index, same as Spark
         for c in range(k):
             if (a == c).any():
-                cents[c] = vecs[a == c].mean(axis=0)
+                # same centroid quantization as kmeans_fit_assign /
+                # the DuckDB oracle replication (corpus._quantize_cent)
+                cents[c] = [corpus._quantize_cent(v)
+                            for v in vecs[a == c].mean(axis=0)]
     d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     return d.argmin(axis=1), cents
 

@@ -231,3 +231,41 @@ def test_apply_merge_delta_modes(spark, committed_run, fixture_sf_small,
     assert res3["mode"] == "full"
     assert _view(spark, mv) == _truth(spark, table)
 
+
+
+def test_supersede_stamp_failure_uses_sidecar(spark, committed_run,
+                                              tmp_path, monkeypatch):
+    """If the supersede-time utime stamp fails, the outgoing version
+    keeps its ORIGINAL write mtime — under the pre-fix sweep a
+    long-lived version became delete-eligible the instant it was
+    superseded. The fallback sidecar stamp must keep it alive for the
+    grace window, and the dir must still age out afterwards."""
+    import os
+    import time as _time
+
+    table = str(tmp_path / "t")
+    shutil.copytree(committed_run, table)
+    mv = materialized.SinkDailyCounts(table, str(tmp_path / "view"))
+    mv.refresh(spark)
+    v1 = mv._state()["data"]
+    v1_path = os.path.join(mv.view_dir, v1)
+    # long-lived version: WRITTEN 2h ago (mtime far past the grace)
+    old = _time.time() - 7200
+    os.utime(v1_path, (old, old))
+
+    def _fail(*a, **k):
+        raise OSError("utime denied")
+
+    monkeypatch.setattr(materialized.os, "utime", _fail)
+    SinkSet(out_dir=table).compact(spark, min_files_per_partition=1)
+    mv.refresh(spark)  # swap to v2; stamp fails -> sidecar fallback
+    monkeypatch.undo()
+    assert mv._state()["data"] != v1
+    # pre-fix this dir is already gone (mtime 2h < 30-min grace)
+    assert os.path.isdir(v1_path)
+    assert os.path.isfile(
+        os.path.join(v1_path, materialized._SUPERSEDE_SIDECAR))
+    # the sidecar ages like a normal stamp: zero grace -> swept
+    mv.min_age_minutes = 0.0
+    mv.refresh(spark)
+    assert not os.path.isdir(v1_path)
