@@ -24,6 +24,12 @@ from pyspark.sql.window import Window
 
 DIM = 64  # embedding dimensionality of the driver's embeddings table
 
+# Shared k-means hyperparameters: semantic dedup (dedup_embed) and the
+# trained IVF quantizer use the SAME (k, n_iter, md5-order init), so
+# ONE oracle-side numpy replication (_sem_oracle_centroids) serves both
+# — the centroid literals it inlines replay either assignment in DuckDB.
+_SEM_K, _SEM_ITER, _SEM_THRESH = 8, 3, 0.35
+
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
@@ -629,10 +635,13 @@ def _lsh_bucket_col(col: str = "embedding", table: int = 0):
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (the coarse-quantizer scale path next to ann_lsh):
-    K=4 deterministic centroids (the vectors with vec_id 0..3), every
-    vector assigned to its max-cosine cell, query probes its nprobe=2
-    nearest cells, exact top-5 re-rank inside the probed cells only.
+    """IVF-style ANN, FIXED-quantizer baseline (the registry's 'ivf'
+    arm; the TRAINED Lloyd-k-means production path is the 'ivft' arm
+    via ann_search/build_ann_index): K=4 positional centroids (the
+    vectors with vec_id 0..3), every vector assigned to its max-cosine
+    cell, query probes its nprobe=2 nearest cells, exact top-5 re-rank
+    inside the probed cells only. Kept alongside the trained path as
+    the recall baseline BENCH/RECALL.md compares against.
 
     At 100 TB the cell id is the partition key: the index build is one
     broadcast (centroids) + narrow map to tag each vector with its
@@ -675,8 +684,10 @@ def build_ann_index(
     sf_dir: str,
     index_dir: str,
     n_tables: int = 2,
-    k_cells: int = 4,
+    k_cells: int = _SEM_K,
+    ivf_iters: int = _SEM_ITER,
     emb: DataFrame | None = None,
+    centroids: list | None = None,
 ) -> str:
     """Materialize the ANN index ONCE so query workloads never re-derive
     it (round-2 gap: ann_search recomputed signatures per call while its
@@ -688,9 +699,11 @@ def build_ann_index(
         signatures, written ``partitionBy("t", "bucket")`` — a probe
         touches n_tables x |masks| / 64 of the directories, never a
         full scan.
-      - ``<index_dir>/ivf``: every vector tagged with its max-cosine
-        centroid cell, written ``partitionBy("cell")`` — a query reads
-        its nprobe cells, ~nprobe/K of the data.
+      - ``<index_dir>/ivf``: every vector tagged with its nearest
+        TRAINED centroid cell (Lloyd k-means via kmeans_fit_assign,
+        min squared-L2, ties to lowest cell id), written
+        ``partitionBy("cell")`` — a query reads its nprobe cells,
+        ~nprobe/K of the data.
 
     Build cost shape at 100 TB: the signature explode is a narrow map;
     the single ``repartition(t, bucket)`` (resp. ``cell``) exchange
@@ -717,29 +730,37 @@ def build_ann_index(
         .write.mode("overwrite").partitionBy("t", "bucket")
         .parquet(os.path.join(index_dir, "lsh"))
     )
-    cents = emb.filter(F.col("vec_id") < k_cells).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-    csim = _dot_col("embedding", "ce") / (
-        F.sqrt(_dot_col("embedding", "embedding")) * F.sqrt(_dot_col("ce", "ce"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    cells = (
-        emb.crossJoin(F.broadcast(cents)).withColumn("csim", csim)
-        .withColumn("crk", F.row_number().over(w))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", F.col("cid").alias("cell"), "embedding")
-    )
+    # IVF quantizer: TRAINED Lloyd k-means cells (kmeans_fit_assign —
+    # deterministic md5-order init, quantized centroid updates), not
+    # positional sample vectors; pass ``centroids`` to reuse an
+    # existing quantizer (e.g. trained on a sample, or copied from
+    # another index so two indexes stay probe-compatible).
+    if centroids is None:
+        _, centroids = kmeans_fit_assign(emb, k=k_cells, n_iter=ivf_iters)
+    cells = assign_cells(emb, centroids).select(
+        "vec_id", "cell", "embedding")
     (
         cells.repartition("cell")
         .write.mode("overwrite").partitionBy("cell")
         .parquet(os.path.join(index_dir, "ivf"))
     )
-    # persist the quantizer itself: append_ann_index must assign new
-    # vectors against the centroids this build used, not re-derive them
-    cents.coalesce(1).write.mode("overwrite").parquet(
+    # persist the quantizer itself: append_ann_index / ann_search must
+    # assign against the centroids this build used, not re-derive them
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, ce array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "centroids"))
     return index_dir
+
+
+def _read_centroids(spark: SparkSession, index_dir: str) -> list[list[float]]:
+    """The persisted quantizer as a cid-ordered list of centroid
+    vectors — a k x dim driver-side literal (the same bounded shape
+    kmeans keeps), inlined into assignment expressions."""
+    rows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    return [list(map(float, r["ce"]))
+            for r in sorted(rows, key=lambda r: r["cid"])]
 
 
 def append_ann_index(
@@ -774,17 +795,9 @@ def append_ann_index(
     lsh.write.mode("append").partitionBy("t", "bucket").parquet(
         os.path.join(index_dir, "lsh"))
 
-    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    csim = _dot_col("embedding", "ce") / (
-        F.sqrt(_dot_col("embedding", "embedding")) * F.sqrt(_dot_col("ce", "ce"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    cells = (
-        new_emb.crossJoin(F.broadcast(cents)).withColumn("csim", csim)
-        .withColumn("crk", F.row_number().over(w))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", F.col("cid").alias("cell"), "embedding")
-    )
+    cents = _read_centroids(spark, index_dir)
+    cells = assign_cells(new_emb, cents).select(
+        "vec_id", "cell", "embedding")
     cells.repartition("cell").write.mode("append").partitionBy("cell").parquet(
         os.path.join(index_dir, "ivf"))
     n = new_emb.count()
@@ -820,6 +833,8 @@ def ann_search(
     nprobe: int = 2,
     n_tables: int = 2,
     probe_radius: int = 1,
+    k_cells: int = _SEM_K,
+    ivf_iters: int = _SEM_ITER,
     index_dir: str | None = None,
 ) -> DataFrame:
     """Batched ANN: ONE pass over the embeddings table answers EVERY
@@ -838,9 +853,14 @@ def ann_search(
       p_agree^6 ≈ 0.05 by the hyperplane collision bound). Candidates
       dedup via map-side-combinable max(sim) agg, never a distinct of
       raw vectors.
-    - ``ivf``:   vectors assigned to their max-cosine centroid cell
-      (K=4 deterministic centroids = vec_id 0..3); each query probes
-      its ``nprobe`` nearest cells (equi-join on cell id).
+    - ``ivf``:   vectors assigned to their nearest TRAINED centroid
+      cell (Lloyd k-means via kmeans_fit_assign — deterministic
+      md5-order init, ``k_cells`` cells, ``ivf_iters`` iterations,
+      min squared-L2 assignment with ties to the lowest cell); each
+      query probes its ``nprobe`` nearest cells by the same metric
+      (equi-join on cell id). With ``index_dir`` the persisted
+      quantizer is reused — never re-derived, so probes stay
+      consistent across index growth.
 
     Scale shape: pass ``index_dir`` (from :func:`build_ann_index`) and
     the data side READS the materialized index — written
@@ -920,45 +940,40 @@ def ann_search(
             .select("qid", "rk", "vec_id", "sim_r")
         )
     elif method == "ivf":
-        cents = emb.filter(F.col("vec_id") < 4).select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-        )
-        csim = _dot_col("embedding", "ce") / (
-            F.sqrt(_dot_col("embedding", "embedding"))
-            * F.sqrt(_dot_col("ce", "ce"))
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+        # TRAINED coarse quantizer: centroids come from the persisted
+        # index (build-time Lloyd k-means) or are trained on the fly
+        # with the same deterministic algorithm — identical either way
+        # on identical data, so the indexed and index-less paths agree.
         if index_dir is not None:
             cells = spark.read.parquet(os.path.join(index_dir, "ivf"))
-            # cell ranking for the QUERY vectors only (probe side)
-            ranked = (
-                emb.filter(F.col("vec_id").isin(ids))
-                .crossJoin(F.broadcast(cents)).withColumn("csim", csim)
-                .withColumn("crk", F.row_number().over(w))
-            )
+            cents = _read_centroids(spark, index_dir)
         else:
-            assigned = emb.crossJoin(F.broadcast(cents)).withColumn("csim", csim)
-            ranked = assigned.withColumn("crk", F.row_number().over(w))
-            cells = ranked.filter(F.col("crk") == 1).select(
-                "vec_id", F.col("cid").alias("cell"), "embedding"
-            )
-        # nprobe nearest cells per query: (qid, pcell) pairs, broadcast
-        probes = ranked.filter(
-            F.col("vec_id").isin(ids) & (F.col("crk") <= nprobe)
-        ).select(F.col("vec_id").alias("qid"), F.col("cid").alias("pcell"))
+            assigned, cents = kmeans_fit_assign(
+                emb, k=k_cells, n_iter=ivf_iters)
+            cells = assigned.select(
+                "vec_id", F.col("cluster").alias("cell"), "embedding")
+        # nprobe nearest cells per query, by the TRAINING metric
+        # (squared L2 to each centroid literal, ties to lowest cell) —
+        # a queries x k relation derived from the query vectors alone
+        dist_arr = F.array(*[_l2_dist_col("embedding", c) for c in cents])
+        wq_cells = Window.partitionBy("qid").orderBy(
+            F.asc("d"), F.asc("pcell"))
+        probes = (
+            emb.filter(F.col("vec_id").isin(ids))
+            .select(F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qe"),
+                    F.posexplode(dist_arr).alias("pcell", "d"))
+            .withColumn("crk", F.row_number().over(wq_cells))
+            .filter(F.col("crk") <= nprobe)
+            .select("qid", "pcell", "qe")
+        )
         if index_dir is not None:
             # static pruning on the cell partition column (see lsh arm)
             pcells = sorted(
                 {int(r["pcell"]) for r in probes.select("pcell").distinct().collect()}
             )
             cells = cells.filter(F.col("cell").isin(pcells))
-        qs = emb.filter(F.col("vec_id").isin(ids)).select(
-            F.col("vec_id").alias("pqid"), F.col("embedding").alias("qe")
-        )
-        qprobe = probes.join(qs, F.col("qid") == F.col("pqid")).select(
-            "qid", "pcell", "qe"
-        )
-        cand = cells.join(F.broadcast(qprobe), F.col("cell") == F.col("pcell"))
+        cand = cells.join(F.broadcast(probes), F.col("cell") == F.col("pcell"))
     else:
         raise ValueError(f"unknown ANN method {method!r}")
     scored = cand.filter(F.col("vec_id") != F.col("qid")).select(
@@ -970,6 +985,32 @@ def ann_search(
         .filter(F.col("rk") <= k)
         .select("qid", "rk", "vec_id", "sim_r")
     )
+
+
+def _l2_dist_col(vec_col, cent: list) -> "F.Column":
+    """Squared L2 distance of an array column to a centroid literal —
+    zip_with + left-fold aggregate, the same term order as the
+    oracle's termwise left-assoc sum (_sem_dist_sql), so distances are
+    bit-identical cross-engine."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    lit = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(col, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def assign_cells(frame: DataFrame, cents: list,
+                 vec_col: str = "embedding",
+                 out_col: str = "cell") -> DataFrame:
+    """Tag every row with its nearest centroid (min squared-L2, ties
+    to the lowest index) — pure codegen expression, no UDF. The
+    assignment primitive shared by kmeans_fit_assign and the trained
+    IVF quantizer (build_ann_index / ann_search / append_ann_index):
+    one narrow map, k x dim flops per row, no shuffle."""
+    arr = F.array(*[_l2_dist_col(vec_col, c) for c in cents])
+    return frame.withColumn(
+        out_col,
+        (F.array_position(arr, F.array_min(arr)) - 1).cast("int"))
 
 
 def kmeans_fit_assign(emb: DataFrame, k: int = 8, n_iter: int = 5,
@@ -1004,17 +1045,9 @@ def kmeans_fit_assign(emb: DataFrame, k: int = 8, n_iter: int = 5,
     if len(cents) < k:
         raise ValueError(f"k={k} but only {len(cents)} rows")
 
-    def dist_to(c: list) -> "F.Column":
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        return F.aggregate(
-            F.zip_with(F.col(vec_col), lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
-
     def assign(frame: DataFrame) -> DataFrame:
-        arr = F.array(*[dist_to(c) for c in cents])
-        return frame.withColumn(
-            "cluster",
-            (F.array_position(arr, F.array_min(arr)) - 1).cast("int"))
+        return assign_cells(frame, cents, vec_col=vec_col,
+                            out_col="cluster")
 
     for _ in range(n_iter):
         upd = (
@@ -1163,11 +1196,12 @@ def q_users_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# semantic-curation arm parameters (mirrored EXACTLY in the oracle:
-# the centroid literals there are a sequential numpy replication of
+# semantic-curation arm parameters: _SEM_K/_SEM_ITER/_SEM_THRESH are
+# defined at the top of the module (shared with the trained IVF
+# quantizer) and mirrored EXACTLY in the oracle — the centroid
+# literals there are a sequential numpy replication of
 # kmeans_fit_assign's deterministic md5-order algorithm at these
-# values)
-_SEM_K, _SEM_ITER, _SEM_THRESH = 8, 3, 0.35
+# values.
 
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1516,8 +1550,8 @@ def corpus_oracles() -> dict[str, str]:
         import warnings
 
         warnings.warn(
-            f"omitting the dedup_embed oracle (centroid replication "
-            f"unavailable): {e}", stacklevel=2)
+            f"omitting the dedup_embed and ann_bucketed oracles "
+            f"(centroid replication unavailable): {e}", stacklevel=2)
         cents = None
     if cents is not None:
         dist_cols = ", ".join(
@@ -1528,6 +1562,18 @@ def corpus_oracles() -> dict[str, str]:
             f"WHEN d{i} = m THEN {i}" for i in range(len(cents))) + " END"
     else:
         dist_cols = least_all = argmin_case = "NULL"
+
+    # trained-IVF (ivft) arm fragments: cosine of assigned vectors vs
+    # the query, and the query's per-centroid distance unpivot used to
+    # rank probe cells — all from the same replicated centroid
+    # literals (d0..d{k-1} in dist_cols)
+    dot_aq = _dot64("a.embedding", "q.qe", "duckdb")
+    na_aa = _dot64("a.embedding", "a.embedding", "duckdb")
+    nq_qq = _dot64("q.qe", "q.qe", "duckdb")
+    sim_aq = f"({dot_aq} / (sqrt({na_aa}) * sqrt({nq_qq})))"
+    qd_unpivot = " UNION ALL ".join(
+        f"SELECT {i} AS i, d{i} AS d FROM dist WHERE vec_id = 0"
+        for i in range(_SEM_K))
 
     out = {
         "dedup_embed": f"""
@@ -1830,6 +1876,37 @@ def corpus_oracles() -> dict[str, str]:
               FROM d
             ) WHERE rk <= 5
             )
+            UNION ALL
+            SELECT 'ivft' AS method, rk, vec_id, sim_r FROM (
+            WITH dist AS (
+              SELECT e.vec_id, e.embedding, {dist_cols}
+              FROM embeddings e
+            ),
+            asg AS (
+              SELECT vec_id, embedding, {argmin_case} AS cell
+              FROM (SELECT *, {least_all} AS m FROM dist)
+            ),
+            qd AS ({qd_unpivot}),
+            probe AS (
+              SELECT i AS pcell FROM (
+                SELECT i, d, row_number() OVER (ORDER BY d ASC, i ASC)
+                  AS prk
+                FROM qd
+              ) WHERE prk <= 2
+            ),
+            q AS (SELECT embedding AS qe FROM embeddings
+                  WHERE vec_id = 0),
+            scored AS (
+              SELECT a.vec_id, round({sim_aq}, 6) AS sim_r
+              FROM asg a JOIN probe p ON a.cell = p.pcell CROSS JOIN q
+              WHERE a.vec_id <> 0
+            )
+            SELECT rk, vec_id, sim_r FROM (
+              SELECT *, row_number() OVER (ORDER BY sim_r DESC, vec_id)
+                AS rk
+              FROM scored
+            ) WHERE rk <= 5
+            )
         """,
         "users_no_purchase": """
             WITH e AS (
@@ -1911,7 +1988,9 @@ def corpus_oracles() -> dict[str, str]:
         "range_join_events": _RANGE_JOIN_ORACLE,
     }
     if cents is None:
+        # ann_bucketed's ivft arm shares the centroid literals
         out.pop("dedup_embed")
+        out.pop("ann_bucketed")
     return out
 
 
@@ -1991,7 +2070,7 @@ def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed ANN scale paths, tagged union: 6-bit hyperplane
-    LSH (method='lsh') and IVF coarse-quantizer nprobe=2
+    LSH (method='lsh') and the fixed-quantizer IVF baseline
     (method='ivf'), each an exact top-5 re-rank inside its probed
     bucket(s) only — plus the batched multi-table multi-probe form
     (method='batchN' for query N): ONE pass answers queries 1..3
@@ -2002,7 +2081,11 @@ def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     BENCH/RECALL.md measures at recall 0.828 scanning ~69% of this
     64-bucket fixture (at a production bit-width the probed fraction
     shrinks geometrically; radius-2/tables-2 is the shipping recall
-    point, radius 1 the cheap one)."""
+    point, radius 1 the cheap one) — plus the TRAINED IVF production
+    path (method='ivft'): Lloyd-k-means cells through the persisted
+    partitionBy(cell) index, nprobe=2 of 8 trained cells (~25%
+    scanned; beats the fixed quantizer at equal scan fraction,
+    BENCH/RECALL.md)."""
     lsh = q_ann_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "rk", "vec_id", "sim_r"
     )
@@ -2018,7 +2101,17 @@ def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "sim_r",
     )
-    return lsh.unionByName(ivf).unionByName(batch)
+    # method='ivft': the TRAINED coarse quantizer (Lloyd k-means cells
+    # via kmeans_fit_assign, k=_SEM_K) through the persisted
+    # partitionBy(cell) index, nprobe=2 of 8 cells — the production
+    # IVF path; the oracle recomputes assignment + probe ranking from
+    # the independently-replicated centroid literals (same literals
+    # the dedup_embed kmeans arm pins).
+    ivft = ann_search(
+        spark, sf_dir, "ivf", query_ids=[0], k=5, nprobe=2,
+        index_dir=ensure_ann_index(spark, sf_dir, n_tables=2),
+    ).select(F.lit("ivft").alias("method"), "rk", "vec_id", "sim_r")
+    return lsh.unionByName(ivf).unionByName(batch).unionByName(ivft)
 
 
 def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -67,19 +67,22 @@ def test_batch_topk_plan_is_window_group_limit(spark):
         assert "WindowGroupLimit" in plan, (method, plan)
 
 
-@pytest.mark.parametrize("method,floor", [("lsh", 0.35), ("ivf", 0.65)])
+@pytest.mark.parametrize("method,floor", [("lsh", 0.35), ("ivf", 0.40)])
 def test_bucketed_recall_floor(spark, method, floor):
     """Measured recall@5 over 16 queries stays above a floor pinned
     from the deterministic fixture (sf0.01 measured: lsh 0.425 at the
-    default n_tables=2/probe_radius=1, ivf 0.71 at nprobe=2 — floors
-    leave slack only for fixture regeneration, the methods themselves
-    are deterministic). The fixture's true neighbors sit near cosine
-    0.3, so single-probe single-table LSH is bounded at p^6 ≈ 0.05;
-    the multi-table/multi-probe defaults are what make the method
-    usable (full grid: BENCH/RECALL.md). Guards against a silent
-    bucketing regression (e.g. a hyperplane constant drifting between
-    engines) that correctness oracles for the single-query form might
-    keep matching on."""
+    default n_tables=2/probe_radius=1; trained-IVF 0.462 at the
+    default k_cells=8/nprobe=2, i.e. scanning ~25% of the corpus —
+    at an EQUAL 50% scan fraction the trained quantizer's nprobe=4
+    measures 0.788 here / 0.762 at sf0.1 vs the former fixed-centroid
+    layout's 0.70, see BENCH/RECALL.md. Floors leave slack only for fixture
+    regeneration, the methods themselves are deterministic). The
+    fixture's true neighbors sit near cosine 0.3, so single-probe
+    single-table LSH is bounded at p^6 ≈ 0.05; the multi-table/
+    multi-probe defaults are what make the method usable. Guards
+    against a silent bucketing regression (e.g. a hyperplane or
+    centroid constant drifting between engines) that correctness
+    oracles for the single-query form might keep matching on."""
     qids = list(range(16))
     truth = _by_query(corpus.ann_search(spark, SF, "brute", query_ids=qids, k=5).collect())
     approx = _by_query(corpus.ann_search(spark, SF, method, query_ids=qids, k=5).collect())
@@ -123,7 +126,8 @@ def test_ivf_nprobe_full_reproduces_brute(spark):
     qids = [0, 5, 9]
     brute = _by_query(corpus.ann_search(spark, SF, "brute", query_ids=qids, k=5).collect())
     full = _by_query(
-        corpus.ann_search(spark, SF, "ivf", query_ids=qids, k=5, nprobe=4).collect()
+        corpus.ann_search(spark, SF, "ivf", query_ids=qids, k=5,
+                          nprobe=corpus._SEM_K).collect()
     )
     assert full == brute
 
@@ -132,14 +136,20 @@ def test_append_ann_index_matches_one_shot(spark, tmp_path):
     """Incremental index growth: an index built on half the corpus and
     appended with the other half must answer probe workloads
     IDENTICALLY to an index built in one shot — for both the LSH and
-    IVF layouts — because the hyperplanes are seeded constants and the
-    appended vectors are assigned against the persisted centroids."""
+    IVF layouts — because the hyperplanes are seeded constants and
+    the appended vectors are assigned against the persisted
+    centroids. With the TRAINED quantizer the half build reuses the
+    one-shot build's centroids (the production pattern: train the
+    quantizer once — e.g. on a sample — then assign everywhere);
+    letting each build re-train would legitimately shift cell
+    boundaries between the two indexes."""
     import os
 
     from pyspark.sql import functions as F
 
     from logparse_spark.corpus import (
         _emb,
+        _read_centroids,
         ann_search,
         append_ann_index,
         build_ann_index,
@@ -153,6 +163,7 @@ def test_append_ann_index_matches_one_shot(spark, tmp_path):
     grown = build_ann_index(
         spark, sf, str(tmp_path / "half"),
         emb=emb.filter(F.col("vec_id") < half),
+        centroids=_read_centroids(spark, one_shot),
     )
     res = append_ann_index(
         spark, emb.filter(F.col("vec_id") >= half), grown)
@@ -173,4 +184,4 @@ def test_append_ann_index_matches_one_shot(spark, tmp_path):
             if not d.startswith(("_", "."))}
     assert tops == {"t"}
     cents = spark.read.parquet(os.path.join(grown, "centroids"))
-    assert cents.count() == 4
+    assert cents.count() == corpus._SEM_K

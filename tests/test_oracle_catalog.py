@@ -36,8 +36,9 @@ def test_missing_testdata_degrades_to_omitting_dedup_embed(
         warnings.simplefilter("always")
         o = corpus.corpus_oracles()
     assert "dedup_embed" not in o
+    assert "ann_bucketed" not in o  # its ivft arm shares the centroids
     # every other corpus oracle is still served
-    assert len(o) == len(corpus.CORPUS_QUERIES) - 1
+    assert len(o) == len(corpus.CORPUS_QUERIES) - 2
     assert any("dedup_embed" in str(x.message) for x in w)
 
 
