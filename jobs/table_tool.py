@@ -14,6 +14,10 @@ operator of the routed store actually uses, one spark-submit away:
                                            # file-level ts-bounds skipping
     ... mv-refresh --view-dir V            # fold new snapshots into the
                                            # materialized daily-counts view
+    ... mv-status  --view-dir V            # view watermark vs table log
+                                           # (staleness probe, no Spark)
+    ... mv-read    --view-dir V [--sink-id S]  # read the current view
+                                           # version (the dashboard query)
     ... cardinality                        # exact per-sink conv counts
     ... delete --conv-id X [--conv-id Y]   # DELETE FROM analogue (COW)
     ... upsert --source P --rules R [--dict-dir D]  # MERGE INTO analogue
@@ -72,6 +76,16 @@ def main() -> None:
     mv = sub.add_parser("mv-refresh")
     mv.add_argument("--view-dir", required=True,
                     help="materialized sink-daily-counts view root")
+    mvs = sub.add_parser("mv-status")
+    mvs.add_argument("--view-dir", required=True,
+                     help="view watermark vs the table snapshot log "
+                          "(pure filesystem read, no Spark)")
+    mvr = sub.add_parser("mv-read")
+    mvr.add_argument("--view-dir", required=True,
+                     help="read the current view version's rows")
+    mvr.add_argument("--sink-id", default=None,
+                     help="optional filter to one sink's daily counts")
+    mvr.add_argument("--limit", type=int, default=10000)
     tr = sub.add_parser("timerange")
     tr.add_argument("--from", dest="ts_from", required=True,
                     help="inclusive ISO lower bound, e.g. 2026-03-03")
@@ -140,6 +154,14 @@ def main() -> None:
         # pure manifest + parquet-footer operation: no Spark session
         print(json.dumps(ss.rollback(args.to)))
         return
+    if args.op == "mv-status":
+        # pure JSON/manifest/filesystem read: no Spark session — the
+        # staleness probe a dashboard runs before forcing a refresh
+        from logparse_spark.materialized import SinkDailyCounts
+
+        print(json.dumps(
+            SinkDailyCounts(args.out, args.view_dir).status()))
+        return
 
     from pyspark.sql import SparkSession
 
@@ -175,6 +197,17 @@ def main() -> None:
 
             res = SinkDailyCounts(args.out, args.view_dir).refresh(spark)
             print(json.dumps(res))
+        elif args.op == "mv-read":
+            from logparse_spark.materialized import SinkDailyCounts
+
+            df = SinkDailyCounts(args.out, args.view_dir).read(spark)
+            if args.sink_id is not None:
+                df = df.filter(df.sink_id == args.sink_id)
+            rows = (df.orderBy("sink_id", "day")
+                    .limit(args.limit).collect())
+            print(json.dumps(
+                {"n": len(rows),
+                 "rows": [r.asDict() for r in rows]}, default=str))
         elif args.op == "timerange":
             from pyspark.sql import functions as F
 

@@ -68,6 +68,32 @@ class SinkDailyCounts:
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
+    def status(self) -> dict:
+        """Operator-facing view census WITHOUT a Spark session: the
+        watermark vs the table's snapshot log (how stale the view
+        is), the current version pointer, and how many superseded
+        version dirs are still inside their grace window. A pure
+        JSON/manifest/filesystem read — the check a dashboard or cron
+        probe runs before deciding whether to trigger a refresh."""
+        st = self._state()
+        latest = len(SinkSet(out_dir=self.table_dir).snapshots()) - 1
+        versions = []
+        try:
+            versions = sorted(
+                n for n in os.listdir(self.view_dir)
+                if n.startswith("v")
+                and os.path.isdir(os.path.join(self.view_dir, n)))
+        except FileNotFoundError:
+            pass
+        return {
+            "initialized": st is not None,
+            "watermark_snapshot": st["snapshot"] if st else None,
+            "table_snapshot": latest,
+            "snapshots_behind": (latest - st["snapshot"]) if st else None,
+            "current_version": st["data"] if st else None,
+            "retained_versions": len(versions),
+        }
+
     def read(self, spark: SparkSession) -> DataFrame:
         st = self._state()
         if st is None:

@@ -230,3 +230,79 @@ def test_spark_submit_applog_extraction(tmp_path):
     assert "rule timeouts (sum):" in txt
     assert "timeout_ms:" in txt          # the sum accumulator rendered
     assert "rule requests (count):" in txt
+
+
+def test_table_tool_mv_cli(tmp_path, fixture_sf_small, spark):
+    """Materialized-view legs of the operational CLI, end to end the
+    way an operator drives a dashboard table: status (staleness probe,
+    plain python — no Spark), refresh through the real spark-submit
+    ship path, read (the dashboard query), then a new table commit and
+    the status/refresh/read loop again."""
+    import sys
+
+    from logparse_spark.sinks import SinkSet
+
+    out_dir = _run_job(tmp_path, fixture_sf_small, "routed_mv", "local[4]", 8)
+    tool = "/root/repo/jobs/table_tool.py"
+    view = str(tmp_path / "view")
+
+    def run_py(*ops):
+        proc = subprocess.run(
+            [sys.executable, tool, "--out", out_dir, *ops],
+            capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    # status before any refresh: uninitialized, table log visible
+    st = run_py("mv-status", "--view-dir", view)
+    assert st["initialized"] is False and st["table_snapshot"] >= 0
+    assert st["snapshots_behind"] is None
+
+    # first refresh = full baseline, through spark-submit --py-files
+    zpath = build_pyfiles_zip(str(tmp_path))
+    proc = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--py-files", zpath, tool,
+         "--out", out_dir, "mv-refresh", "--view-dir", view],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["mode"] == "full"
+
+    st = run_py("mv-status", "--view-dir", view)
+    assert st["initialized"] is True and st["snapshots_behind"] == 0
+    assert st["retained_versions"] == 1
+
+    # read equals the direct aggregate over the routed table
+    got = run_py("mv-read", "--view-dir", view)
+    assert got["n"] > 0
+    from pyspark.sql import functions as F
+
+    truth = {
+        (r["sink_id"], str(r["day"])): r["n"]
+        for r in SinkSet(out_dir=out_dir).read_routed(spark)
+        .filter(F.col("sink_id") != "ignored")
+        .groupBy("sink_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {(r["sink_id"], str(r["day"])): r["n"]
+            for r in map(dict, (got["rows"]))} == truth
+
+    # sink filter narrows the read to one sink's rows
+    one_sink = got["rows"][0]["sink_id"]
+    flt = run_py("mv-read", "--view-dir", view, "--sink-id", one_sink)
+    assert flt["n"] > 0
+    assert {r["sink_id"] for r in flt["rows"]} == {one_sink}
+
+    # a new table snapshot makes the view stale; refresh catches up
+    SinkSet(out_dir=out_dir).compact(spark, min_files_per_partition=1)
+    st = run_py("mv-status", "--view-dir", view)
+    assert st["snapshots_behind"] == 1
+    res = run_py("mv-refresh", "--view-dir", view)
+    assert res["mode"] in ("incremental", "full")
+    st = run_py("mv-status", "--view-dir", view)
+    assert st["snapshots_behind"] == 0
