@@ -2255,25 +2255,66 @@ _REVENUE_ORACLE = """
 """
 
 
+_BLOOM_BITS_PER_GRAM = 16  # k=3 hashes -> FP rate ~0.5% per probe
+_BLOOM_K = 3
+
+
+def _bloom_positions(m_bits: int):
+    """The k Bloom bit positions of a ``gram`` column as JVM exprs —
+    double hashing over two independent xxhash64 seeds (pmod BEFORE
+    the combine keeps every intermediate < k*m, no ANSI long
+    overflow). Used identically on the build side (benchmark) and the
+    probe side (corpus), so there is no cross-language hash to
+    replicate: the driver only ORs collected bit positions into the
+    mask, it never recomputes a hash."""
+    h1 = F.pmod(F.xxhash64("gram"), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64("gram", F.lit(1)), F.lit(m_bits))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+            for i in range(_BLOOM_K)]
+
+
 def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  mode: str = "broadcast") -> DataFrame:
     """Benchmark decontamination: documents sharing ANY word n-gram
     with an eval/benchmark set — the training-data hygiene pass that
     keeps eval questions out of the training corpus (n-gram overlap is
     the standard public method, e.g. GPT-3 App. C / PaLM-style 8-13
     gram checks).
 
-    Scale shape: the benchmark is small by definition, so its distinct
-    gram set BROADCASTS and the corpus side never shuffles — each doc
-    explodes its n-grams (a JVM transform over the token array, no
-    Python) and broadcast-semi-joins; the only exchange is the final
-    per-doc count aggregation, map-side combined. At 100 TB the
-    benchmark-gram bloom/set is MBs; the corpus pass stays one scan.
+    Two scale modes, SAME exact result (asserted equal in pytest):
+
+    - ``mode="broadcast"`` (default): the benchmark's distinct gram
+      set broadcasts and the corpus side never shuffles — each doc
+      explodes its n-grams (a JVM transform over the token array, no
+      Python) and broadcast-semi-joins; the only exchange is the final
+      per-doc count aggregation, map-side combined. Right whenever the
+      gram set fits a broadcast (typical eval suites: MBs).
+
+    - ``mode="bloom"``: for HUGE benchmark suites whose gram set is an
+      uncomfortable broadcast (the set is unbounded in principle). A
+      Bloom bitmask (16 bits/gram, k=3 — ~0.5% false-positive rate) is
+      built from the benchmark grams' xxhash64 bit positions and
+      broadcast instead — 4x smaller than a 64-bit hash set and ~30x
+      smaller than raw gram strings, with the bits/gram knob bounding
+      it regardless of gram length. The corpus pass tests the k bits
+      JVM-side (element_at + shiftleft on a long[] mask — no Python)
+      and only the surviving ~FP fraction of (id, gram) rows reaches
+      the exact verify semi-join, which Spark plans between two now-
+      SMALL relations. False positives therefore cost duplicate work,
+      never wrong output: the result is exact in both modes.
+
+    The driver-side footprint of the bloom build is the collected
+    distinct BIT POSITIONS (<= k x distinct grams ints) — bounded by
+    the benchmark, never the corpus; the corpus side stays one scan in
+    both modes.
 
     Returns (id_col, n_shared) — flagged docs only, n_shared = how
     many DISTINCT benchmark n-grams the document contains."""
     if n < 1:
         raise ValueError(f"n must be >= 1: {n}")
+    if mode not in ("broadcast", "bloom"):
+        raise ValueError(f"unknown mode {mode!r}")
 
     def grams(df: DataFrame) -> DataFrame:
         d = _with_words(df).filter(F.size("ws") >= n)
@@ -2283,10 +2324,45 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
         return d.select(id_col, F.explode(g).alias("gram"))
 
     bench = grams(benchmark).select("gram").distinct()
+    doc_grams = grams(docs)
+    if mode == "bloom":
+        spark = docs.sparkSession
+        n_grams = bench.count()
+        m_bits = max(1024, _BLOOM_BITS_PER_GRAM * n_grams)
+        m_bits += (-m_bits) % 64
+        pos_exprs = _bloom_positions(m_bits)
+        set_bits = (
+            bench.select(F.explode(F.array(*pos_exprs)).alias("p"))
+            .distinct().collect()
+        )
+        words = [0] * (m_bits // 64)
+        for r in set_bits:
+            p = int(r["p"])
+            words[p >> 6] |= 1 << (p & 63)
+        # LongType is signed 64-bit: wrap the top bit
+        words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+        mask = spark.createDataFrame([(words,)], "bloom_mask array<bigint>")
+        hit_all = None
+        for pos in pos_exprs:
+            word = F.element_at(
+                "bloom_mask", F.shiftright(pos, 6).cast("int") + F.lit(1))
+            # call_function: the SQL shiftleft takes a column bit
+            # count; the python wrapper F.shiftleft only a literal
+            bit = F.call_function(
+                "shiftleft", F.lit(1).cast("long"),
+                pos.bitwiseAND(F.lit(63)).cast("int"))
+            hit = word.bitwiseAND(bit) != F.lit(0)
+            hit_all = hit if hit_all is None else (hit_all & hit)
+        doc_grams = (
+            doc_grams.join(F.broadcast(mask))
+            .filter(hit_all)
+            .select(id_col, "gram")
+        )
+    matched = doc_grams.join(
+        F.broadcast(bench) if mode == "broadcast" else bench,
+        "gram", "left_semi")
     return (
-        grams(docs)
-        .join(F.broadcast(bench), "gram", "left_semi")
-        .groupBy(id_col)
+        matched.groupBy(id_col)
         .agg(F.countDistinct("gram").alias("n_shared"))
     )
 

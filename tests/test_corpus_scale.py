@@ -283,3 +283,48 @@ def test_new_ops_partition_stable(spark):
     assert dc(docs.repartition(1), bench.repartition(1)) == \
         dc(docs.repartition(13), bench.repartition(13))
     assert len(fp(docs)) > 0 and len(dc(docs, bench)) > 0
+
+
+def test_decontaminate_bloom_mode_exact_and_planless_python(spark):
+    """mode="bloom" (the huge-benchmark scale path: broadcast a
+    16-bit/gram Bloom bitmask instead of the gram set, exact verify
+    join on the tiny survivor fraction) returns EXACTLY the broadcast
+    mode's answer — Bloom false positives may add verify work, never
+    output — with no Python in the plan and the bit test fused
+    JVM-side against the broadcast long[] mask."""
+    from pyspark.sql import functions as F
+
+    from logparse_spark import corpus
+
+    schema = "doc_id long, text string"
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")], schema)
+    docs = spark.createDataFrame([
+        (1, "xx alpha beta gamma delta epsilon zeta eta theta yy"),
+        (2, "alpha beta gamma delta epsilon zeta eta"),
+        (3, "unrelated words entirely different content okay tail pad"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta theta"),
+    ], schema)
+    exact = {r["doc_id"]: r["n_shared"] for r in
+             corpus.decontaminate(docs, bench, n=8).collect()}
+    bloom = {r["doc_id"]: r["n_shared"] for r in
+             corpus.decontaminate(docs, bench, n=8, mode="bloom").collect()}
+    assert bloom == exact == {1: 1, 4: 1}
+
+    # wider input (the curate fixture shape): both modes agree row-wise
+    d = corpus._docs(spark, "/root/testdata/sf0.001")
+    b = d.filter(F.col("doc_id") % 97 == 0)
+    e2 = sorted(map(tuple, corpus.decontaminate(d, b, n=4).collect()))
+    b2 = sorted(map(tuple,
+                    corpus.decontaminate(d, b, n=4, mode="bloom").collect()))
+    assert e2 and e2 == b2
+
+    plan = corpus.decontaminate(d, b, n=4, mode="bloom") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # the corpus side meets only the broadcast MASK before the verify
+    # join: the bit test rides the BroadcastNestedLoopJoin condition
+    assert "BroadcastNestedLoopJoin" in plan and "bloom_mask" in plan
+
+    with pytest.raises(ValueError):
+        corpus.decontaminate(docs, bench, mode="nope")
