@@ -8,13 +8,16 @@ media transform (decode, resize, frame-sample, feature-extract) is a
 once per batch as Arrow buffers — never per row, never through the
 driver.
 
-No media libraries exist in this container, so the codec work is a
+No media libraries exist in this container, so most codec work is a
 clearly-marked deterministic stand-in (see ``decode``): the bytes are
-treated as the decoded raster/waveform directly. Everything the Spark
-layer owns — schemas, Arrow batch iteration, multi-row yield
-(frame explode), partition routing by kind, column pruning — is real
-and is what the tests pin. Swapping the stand-in for Pillow/ffmpeg
-changes only the inner numpy lines of each stage.
+treated as the decoded raster/waveform directly. ONE format is decoded
+for real — uncompressed 24-bit BMP, via the pure-numpy ``decode_bmp``
+(header parse, row de-pad, bottom-up flip, BGR->RGB) — proving the
+stage shape carries an actual codec. Everything the Spark layer owns —
+schemas, Arrow batch iteration, multi-row yield (frame explode),
+partition routing by kind, column pruning — is real and is what the
+tests pin. Swapping the remaining stand-ins for Pillow/ffmpeg changes
+only the inner numpy lines of each stage.
 
 Scale notes baked into each stage:
 - payload transforms select ONLY the columns they need first, so the
@@ -72,20 +75,60 @@ def synth_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def decode_bmp(buf: bytes) -> "np.ndarray | None":
+    """REAL pure-numpy decoder for one public format: uncompressed
+    24-bit BI_RGB Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER,
+    the layout in the public file-format spec). Returns the pixel
+    raster as an (h, w, 3) RGB uint8 array — rows un-padded (BMP rows
+    are 4-byte aligned), vertically un-flipped (positive-height BMPs
+    are stored bottom-up), channels BGR->RGB — or None when the bytes
+    are not such a BMP (wrong magic/bpp/compression, truncated), in
+    which case ``decode`` falls back to the documented stand-in."""
+    if len(buf) < 54 or buf[:2] != b"BM":
+        return None
+    off = int.from_bytes(buf[10:14], "little")
+    dib = int.from_bytes(buf[14:18], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    planes = int.from_bytes(buf[26:28], "little")
+    bpp = int.from_bytes(buf[28:30], "little")
+    comp = int.from_bytes(buf[30:34], "little")
+    if (dib < 40 or planes != 1 or bpp != 24 or comp != 0
+            or w <= 0 or h == 0 or off < 54):
+        return None
+    h_abs = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if len(buf) < off + stride * h_abs:
+        return None
+    a = np.frombuffer(buf, dtype=np.uint8, count=stride * h_abs,
+                      offset=off)
+    rows = a.reshape(h_abs, stride)[:, : w * 3]
+    if h > 0:  # positive height = bottom-up storage
+        rows = rows[::-1]
+    return rows.reshape(h_abs, w, 3)[:, :, ::-1]
+
+
 def decode(media: DataFrame) -> DataFrame:
     """Decode stage: payload bytes -> pixel/sample buffer + checksum.
 
-    STAND-IN DECODE: a real deployment calls the codec here
+    Image payloads that parse as uncompressed 24-bit BMP get a REAL
+    decode (``decode_bmp`` — header parse, row de-pad, vertical
+    un-flip, BGR->RGB; n_samples/checksum then describe the decoded
+    PIXELS, not the container bytes). Everything else is the
+    documented STAND-IN: a real deployment calls the codec here
     (PIL.Image.open / soundfile.read / av.open on ``payload``); this
-    container has none, so the "decoded buffer" IS the payload bytes
-    reinterpreted as uint8 — deterministic, size-preserving, and
-    exercising the identical Arrow path a real decoder would."""
+    container has none beyond BMP, so the "decoded buffer" IS the
+    payload bytes reinterpreted as uint8 — deterministic,
+    size-preserving, and exercising the identical Arrow path."""
     cols = media.select("doc_id", "kind", "payload")
 
     def run(batches):
         for pdf in batches:
-            bufs = [np.frombuffer(b or b"", dtype=np.uint8)
-                    for b in pdf["payload"]]
+            bufs = []
+            for b in pdf["payload"]:
+                px = decode_bmp(b) if b else None
+                bufs.append(px.ravel() if px is not None
+                            else np.frombuffer(b or b"", dtype=np.uint8))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "kind": pdf["kind"],

@@ -126,3 +126,81 @@ def test_stages_are_arrow_batched_python(spark, media):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("MapInPandas") == 1, plan
         assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def _make_bmp(px: np.ndarray, top_down: bool = False) -> bytes:
+    """Encode an (h, w, 3) RGB uint8 array as an uncompressed 24-bit
+    BMP per the public spec: BITMAPFILEHEADER + BITMAPINFOHEADER,
+    4-byte-aligned BGR rows, bottom-up unless top_down (negative
+    height). An independent encoder, so decode_bmp is a round-trip
+    check, not its own inverse."""
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    data = bytearray()
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for r in order:
+        data += px[r][:, ::-1].tobytes()       # RGB -> BGR
+        data += b"\x00" * (stride - w * 3)     # row padding
+    off = 14 + 40
+    size = off + len(data)
+    fh = (b"BM" + size.to_bytes(4, "little") + b"\x00" * 4
+          + off.to_bytes(4, "little"))
+    ih = ((40).to_bytes(4, "little")
+          + w.to_bytes(4, "little", signed=True)
+          + (-h if top_down else h).to_bytes(4, "little", signed=True)
+          + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+          + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+          + (2835).to_bytes(4, "little") * 2 + (0).to_bytes(4, "little") * 2)
+    return bytes(fh + ih + data)
+
+
+def test_decode_bmp_roundtrip():
+    """Pixel-exact round trip of the REAL decoder against an
+    independent encoder: padded odd widths, bottom-up AND top-down
+    storage, plus rejection of near-BMPs (wrong bpp, truncated) that
+    must fall back to the stand-in path."""
+    rng = np.random.default_rng(11)
+    for w, h in [(3, 2), (5, 4), (1, 1), (7, 3)]:   # odd widths pad
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for td in (False, True):
+            got = mm.decode_bmp(_make_bmp(px, top_down=td))
+            assert got is not None and got.shape == (h, w, 3)
+            assert np.array_equal(got, px), (w, h, td)
+    # rejections -> None (decode() then uses the byte stand-in)
+    px = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    good = _make_bmp(px)
+    assert mm.decode_bmp(b"BMshort") is None
+    assert mm.decode_bmp(good[:40]) is None          # truncated header
+    assert mm.decode_bmp(good[:-3]) is None          # truncated pixels
+    bad_bpp = bytearray(good); bad_bpp[28] = 8
+    assert mm.decode_bmp(bytes(bad_bpp)) is None     # 8-bit: not ours
+    bad_comp = bytearray(good); bad_comp[30] = 1
+    assert mm.decode_bmp(bytes(bad_comp)) is None    # BI_RLE8
+
+
+def test_decode_stage_decodes_real_bmp(spark):
+    """The decode STAGE applies the real codec inside the same single
+    mapInPandas: a BMP payload's n_samples/checksum describe the
+    decoded pixels (w*h*3, sum of pixel values — header, padding and
+    channel order stripped), while a non-BMP payload keeps the
+    stand-in byte semantics; the plan still carries exactly one
+    MapInPandas and no extra exchange."""
+    from logparse_spark.packaging import ensure_shipped
+
+    ensure_shipped(spark)
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    bmp = _make_bmp(px)
+    raw = b"\x01\x02\x03\x04"
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(bmp), None),
+         (2, "audio", bytearray(raw), None)],
+        mm.MEDIA_SCHEMA)
+    out = {r["doc_id"]: r for r in mm.decode(media).collect()}
+    assert out[1]["n_samples"] == 4 * 5 * 3
+    assert out[1]["checksum"] == int(px.sum())
+    assert out[1]["n_samples"] < len(bmp)  # container bytes stripped
+    assert out[2]["n_samples"] == 4 and out[2]["checksum"] == 1 + 2 + 3 + 4
+    plan = mm.decode(media)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
