@@ -285,11 +285,20 @@ def run_suite(cores: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         # comparing suite times (identical work has measured 1.3s-2.7s
         # on this VM depending on the hour)
         probe_sec = _cpu_probe(cores)
+        # probe-normalized per-query values: dimensionless multiples of
+        # the fixed-work CPU probe measured in the SAME window, so a
+        # cross-round comparison can separate a real regression (the
+        # normalized value moved) from hypervisor drift (raw seconds
+        # moved, normalized value did not — this VM's identical work
+        # has measured 1.3s-2.7s by hour)
+        normalized = {k: round(v / probe_sec, 3) for k, v in timings.items()}
         return {
             "metric": "headline suite wall time (pipeline e2e + operator queries)",
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "queries_normalized": normalized,
+            "total_normalized": round(total / probe_sec, 3),
             "sf": sf_from_dir(sf_dir),
             "n_turns": n_turns,
             "turns_per_sec_e2e": round(n_turns / timings["pipeline_e2e"], 1),
@@ -297,6 +306,7 @@ def run_suite(cores: int = CPUS, sf_dir: str = SF_DIR) -> dict:
             "turns_per_sec_e2e_sf1": round(n_sf1 / e2e_sf1, 1),
             "parallelism": cores,
             "cpu_probe_sec": probe_sec,
+            "mem_probe_sec": _mem_probe(cores),
         }
     finally:
         spark.stop()
@@ -326,6 +336,43 @@ def _cpu_probe(nproc: int) -> float:
             p.map(_probe_work, [total // nproc] * nproc)
             best = min(best, time.monotonic() - t0)
     return round(best, 3)
+
+
+def _mem_probe(nproc: int) -> float:
+    """Fixed-work aggregate memory-bandwidth probe (STREAM-triad
+    shape): every pool worker sweeps a 64 MB numpy triad, all workers
+    concurrently, so the number tracks DELIVERED DRAM bandwidth under
+    full-core contention — the resource this VM's windows actually
+    vary on (the CPU probe has measured 1.13x drift in a window where
+    the bandwidth-bound suite moved 1.4x; see BENCH/BASELINE.md).
+    Compare mem_probe_sec across BENCH_r*.json before reading raw
+    seconds of scan/shuffle-heavy queries. Best-of-3 wall seconds;
+    per-worker work is fixed (total bytes scale with nproc), so
+    compare readings only at EQUAL parallelism — run_suite always
+    emits it at the suite's core count."""
+    import multiprocessing as mp
+
+    with mp.Pool(nproc) as p:
+        p.map(_mem_probe_work, [1] * nproc)  # spawn + fault-in pages
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.monotonic()
+            p.map(_mem_probe_work, [6] * nproc)
+            best = min(best, time.monotonic() - t0)
+    return round(best, 3)
+
+
+def _mem_probe_work(n_pass: int) -> float:
+    import numpy as np
+
+    n = 8 * 1024 * 1024  # 3 x 64 MB float64 arrays per worker
+    b = np.ones(n)
+    c = np.full(n, 0.5)
+    a = np.zeros(n)
+    for _ in range(n_pass):
+        np.add(b, c, out=a)        # triad reads 2n, writes n doubles
+        np.multiply(a, 0.5, out=c)
+    return float(c[0])
 
 
 _PROBE_LINES = [
