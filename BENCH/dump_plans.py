@@ -110,6 +110,22 @@ def main() -> None:
         fmt_plan(probed),
     ))
 
+    ivft = corpus.ann_search(
+        spark, sf, "ivf", query_ids=[0], k=5, nprobe=2,
+        index_dir=corpus.ensure_ann_index(spark, sf, n_tables=2),
+    )
+    sections.append((
+        "Trained-IVF probe (ann_search over build_ann_index's "
+        "partitionBy(cell) layout, Lloyd-k-means quantizer)",
+        "Must hold: the cell scan carries PartitionFilters on cell "
+        "built from the query's nprobe nearest TRAINED centroids "
+        "(min-L2 probe ranking is a pure codegen expression over the "
+        "k x dim centroid literals — no Python, no shuffle to rank); "
+        "the probe relation broadcasts; per-query top-k plans "
+        "WindowGroupLimit like the LSH arms.",
+        fmt_plan(ivft),
+    ))
+
     from logparse_spark.sinks import SinkSet
 
     import tempfile
