@@ -326,6 +326,77 @@ def dedup_stream(
     )
 
 
+def interval_join_streams(
+    views: DataFrame,
+    clicks: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "2 days",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-STREAM inner interval join — the two-stream surface of
+    Structured Streaming: every click paired with the same user's
+    views at most ``within`` earlier (the attribution join a clickstream
+    pipeline runs continuously).
+
+    Scale shape: both sides carry event-time watermarks AND the join
+    condition carries an event-time RANGE (click_ts in [view_ts,
+    view_ts + within]) — exactly the combination that lets Spark
+    BOUND the join state: a buffered view is evictable once the
+    click-side watermark passes view_ts + within, so state is
+    (arrival rate x (watermark + within)), never total history. An
+    unbounded stream-stream join buffers both streams forever — the
+    guaranteed-OOM shape at 10^12 events; the range condition is not
+    an optimization, it is the contract.
+
+    Inner joins emit each match as soon as both rows have arrived
+    (append mode — the only mode stream-stream joins support; no
+    watermark holdback, which only outer joins need), so an
+    availableNow drain equals the batch interval join exactly as long
+    as no input arrives later than the watermark — the default here
+    is generous because the registry entry replays a bounded fixture;
+    production tightens it to its real lateness bound to shrink
+    state. Works directly on TIMESTAMP_NTZ event time (wall-clock
+    arithmetic, tz-stable like the rest of the pipeline).
+
+    Returns (user_id, view_id, click_id, view_ts, gap_us) — gap_us
+    the exact microsecond lag, one row per qualifying (view, click)
+    pair. Event time is UTC-aligned for the watermark/join (Spark
+    requires TIMESTAMP, not NTZ, on watermark columns — same dance as
+    session_counts, tz-stable on fixtures without a DST transition
+    inside the join window) and converts back to the naive wall clock
+    on output."""
+    tz = views.sparkSession.conf.get("spark.sql.session.timeZone")
+
+    def utc(col):
+        return F.to_utc_timestamp(F.col(col).cast("timestamp"), tz)
+
+    v = views.select(
+        F.col(user_col).alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        utc(ts_col).alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col(user_col).alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        utc(ts_col).alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return v.join(c, cond, "inner").select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        F.from_utc_timestamp("view_ts", tz)
+        .cast("timestamp_ntz").alias("view_ts"),
+        F.expr("timestampdiff(MICROSECOND, view_ts, click_ts)")
+        .cast("long").alias("gap_us"),
+    )
+
+
 def conversation_progress(df_stream: DataFrame, compiled: CompiledRules) -> DataFrame:
     """Custom stateful operator: per-conversation running progress.
 

@@ -643,3 +643,89 @@ def test_upsert_stream_maintains_materialized_view(
                   checkpoint_dir=str(tmp_path / "mv_ckpt2"),
                   dict_dir=fixture_sf_small, view_dir=view_dir)
     assert view() == after_resume == truth()      # (c)
+
+
+def test_interval_join_streams_multibatch(spark, tmp_path_factory, tmp_path):
+    """Stream-stream interval join must MATCH ACROSS micro-batches:
+    the events table arrives as 3 time-ordered files, one per trigger,
+    so a view buffered in batch 0 must still pair with a click
+    arriving in batch 1 (within the 10-min window) through the
+    symmetric join state. Truth = the batch interval join over the
+    same files; the physical plan must carry the symmetric hash join
+    (bounded state), not a batch join."""
+    src = tmp_path_factory.mktemp("events_join_stream")
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    n = t.num_rows
+    # split the time-ordered rows BETWEEN a qualifying (view, click)
+    # pair, so at least one match provably spans the batch boundary
+    pdf = t.to_pandas().sort_values("ts", kind="stable").reset_index(drop=True)
+    split_at = None
+    views_seen: dict = {}
+    for idx, row in pdf.iterrows():
+        if row["event_type"] == "view":
+            views_seen[row["user_id"]] = (idx, row["ts"])
+        elif row["event_type"] == "click" and row["user_id"] in views_seen:
+            vidx, vts = views_seen[row["user_id"]]
+            gap = (row["ts"] - vts).total_seconds()
+            if vidx < idx and 0 <= gap <= 600:
+                split_at = idx  # click opens file 1, its view in file 0
+                break
+    assert split_at is not None, "fixture lost all view->click pairs"
+    import pyarrow as pa
+
+    t_sorted = pa.Table.from_pandas(pdf, preserve_index=False)
+    for i, (lo, hi) in enumerate([(0, split_at), (split_at, n)]):
+        pq.write_table(t_sorted.slice(lo, hi - lo),
+                       os.path.join(str(src), f"part-{i}.parquet"))
+
+    sdf = (spark.readStream.schema(streaming.EVENTS_STREAM_SCHEMA)
+           .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    joined = streaming.interval_join_streams(
+        sdf.filter(F.col("event_type") == "view"),
+        sdf.filter(F.col("event_type") == "click"),
+        within="10 minutes",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory").queryName("ij_multi")
+        .option("checkpointLocation", str(tmp_path / "cp_ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["view_id"], r["click_id"], r["view_ts"], r["n_us"]
+         if "n_us" in r else r["gap_us"])
+        for r in spark.table("ij_multi").collect()
+    )
+
+    ev = spark.read.parquet(str(src))
+    v = ev.filter("event_type = 'view'").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("vid"),
+        F.col("ts").alias("vts"))
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"))
+    batch = v.join(c, (F.col("u") == F.col("cu"))
+                   & (F.col("cts") >= F.col("vts"))
+                   & (F.col("cts") <= F.col("vts")
+                      + F.expr("INTERVAL 10 minutes")))
+    want = sorted(
+        (r["u"], r["vid"], r["cid"], r["vts"],
+         int((r["cts"] - r["vts"]).total_seconds() * 1e6))
+        for r in batch.collect()
+    )
+    assert got == want and len(got) > 0
+    # cross-batch pairs actually exercised: some pair spans the file
+    # boundary (view buffered in batch 0, click arriving in batch 1)
+    file0_ids = set(pdf["event_id"].iloc[:split_at])
+    file1_ids = set(pdf["event_id"].iloc[split_at:])
+    assert any(vid in file0_ids and cid in file1_ids
+               for _, vid, cid, _, _ in got)
+
+    # bounded-state shape: the executed streaming plan uses the
+    # symmetric hash join (join state evicted by watermark + the
+    # event-time range condition), never a batch join of buffered
+    # history
+    plan = q._jsq.explainInternal(False)
+    assert "StreamingSymmetricHashJoin" in plan, plan
