@@ -328,3 +328,37 @@ def test_decontaminate_bloom_mode_exact_and_planless_python(spark):
 
     with pytest.raises(ValueError):
         corpus.decontaminate(docs, bench, mode="nope")
+
+
+def test_decontaminate_bloom_fuzz(spark):
+    """Property fuzz of the Bloom path: over random word-soup corpora
+    and benchmark slices (including gram-free docs, shared phrases,
+    tiny vocabularies that force hash collisions into the same mask
+    words), mode="bloom" equals mode="broadcast" row-for-row — the
+    exactness claim, not a sample of it."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from logparse_spark import corpus
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    doc = st.lists(st.sampled_from(vocab), min_size=0, max_size=12).map(
+        " ".join)
+
+    @settings(max_examples=15, deadline=None)
+    @given(docs=st.lists(doc, min_size=1, max_size=8),
+           bench=st.lists(doc, min_size=1, max_size=3),
+           n=st.integers(min_value=1, max_value=4))
+    def prop(docs, bench, n):
+        schema = "doc_id long, text string"
+        ddf = spark.createDataFrame(list(enumerate(docs)), schema)
+        bdf = spark.createDataFrame(
+            [(1000 + i, t) for i, t in enumerate(bench)], schema)
+        exact = sorted(map(tuple,
+                           corpus.decontaminate(ddf, bdf, n=n).collect()))
+        bloom = sorted(map(tuple, corpus.decontaminate(
+            ddf, bdf, n=n, mode="bloom").collect()))
+        assert exact == bloom
+
+    prop()
