@@ -18,7 +18,8 @@ operator of the routed store actually uses, one spark-submit away:
                                            # (staleness probe, no Spark)
     ... mv-read    --view-dir V [--sink-id S]  # read the current view
                                            # version (the dashboard query)
-    ... cardinality                        # exact per-sink conv counts
+    ... cardinality [--approx]             # per-sink conv counts: exact,
+                                           # or mergeable HLL sketches
     ... delete --conv-id X [--conv-id Y]   # DELETE FROM analogue (COW)
     ... upsert --source P --rules R [--dict-dir D]  # MERGE INTO analogue
     ... rollback --to K                    # repoint table to snapshot K
@@ -92,7 +93,13 @@ def main() -> None:
     tr.add_argument("--to", dest="ts_to", required=True,
                     help="exclusive ISO upper bound")
     tr.add_argument("--as-of", type=int, default=None)
-    sub.add_parser("cardinality")
+    ca = sub.add_parser("cardinality")
+    ca.add_argument("--approx", action="store_true",
+                    help="mergeable HLL sketches (logparse_spark."
+                         "sketches) instead of the exact distinct: "
+                         "per-sink estimates + the global distinct "
+                         "(a register-max union of the same per-day "
+                         "sketches, no second scan)")
     dl = sub.add_parser("delete")
     dl.add_argument("--conv-id", action="append", required=True,
                     help="repeatable; each named conversation is removed "
@@ -220,7 +227,20 @@ def main() -> None:
                               "rows": sum(per_sink.values()),
                               "per_sink": per_sink}))
         elif args.op == "cardinality":
-            print(json.dumps(ss.compute_sink_cardinality(spark)))
+            if args.approx:
+                from logparse_spark import sketches
+
+                day = sketches.sink_day_cardinality(ss.read_routed(spark))
+                per_sink = {
+                    r["sink_id"]: int(r["estimate"])
+                    for r in sketches.hll_rollup(day, ["sink_id"]).collect()
+                }
+                total = int(sketches.hll_rollup(day, [])
+                            .collect()[0]["estimate"])
+                print(json.dumps({"approx": True, "per_sink": per_sink,
+                                  "total_distinct_convs": total}))
+            else:
+                print(json.dumps(ss.compute_sink_cardinality(spark)))
         elif args.op == "delete":
             print(json.dumps(ss.delete_conversations(spark, args.conv_id)))
         elif args.op == "rebucket":
