@@ -59,9 +59,12 @@ def main() -> None:
     c = sub.add_parser("compact")
     c.add_argument("--max-records-per-file", type=int, default=None)
     c.add_argument("--min-files-per-partition", type=int, default=2)
-    c.add_argument("--sort-order", choices=["key", "time"], default="key",
+    c.add_argument("--sort-order", choices=["key", "time", "zorder"],
+                   default="key",
                    help="file clustering: key = conv-contiguous (point "
-                        "lookups), time = time-contiguous (range reads)")
+                        "lookups), time = time-contiguous (range reads), "
+                        "zorder = interleaved (mixed workloads: usable "
+                        "bounds on BOTH conv and ts)")
     v = sub.add_parser("vacuum")
     v.add_argument("--min-age-minutes", type=float, default=60.0)
     lk = sub.add_parser("lookup")

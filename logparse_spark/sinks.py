@@ -1474,7 +1474,69 @@ class SinkSet:
     _SORT_ORDERS = {
         "key": ("conv_id", "turn_idx"),
         "time": ("ts", "conv_id", "turn_idx"),
+        "zorder": None,  # derived z-value column, see _zvalue_col
     }
+
+    _Z_BITS = 8  # 8 bits per dimension -> 16-bit z-values
+
+    @staticmethod
+    def _zvalue_col(df: DataFrame) -> "F.Column":
+        """Morton/Z-value over (ts, conv_id) — the multi-dimensional
+        clustering key of ``sort_order="zorder"`` (the Delta/Iceberg
+        OPTIMIZE ZORDER technique, public): each dimension is
+        quantized to 8 bits and the bits INTERLEAVED, so a file of
+        consecutive z-values carries moderately narrow min/max bounds
+        on BOTH columns at once — "key" order prunes conv lookups but
+        not time ranges, "time" the reverse; z-order serves mixed
+        workloads from one layout at ~sqrt the single-dim tightness.
+
+        Both dimensions quantize BY VALUE into 256-quantile range ids
+        (the range-id trick Delta's implementation uses): file
+        skipping consults the raw columns' min/max footer stats, so a
+        hash dimension would scatter every file's bounds across the
+        whole domain and prune nothing — the quantization must
+        preserve the column's ORDER. ts ranks via its microsecond
+        offset; conv_id via a numeric proxy of the 7 bytes AFTER the
+        dataset's common prefix (the common prefix of global min and
+        max, shared by every value in between, so dropping it spends
+        the proxy's width on the bytes that actually vary —
+        "convNNNNNN"-style ids would otherwise collapse into one
+        bucket). Stats cost: two bounded driver-side passes (min/max
+        pair + two percentile_approx arrays, 255 doubles each)
+        inlined as literals; the per-row bucket lookup and the
+        shift/mask bit spread are pure codegen long arithmetic — no
+        Python, no extra shuffle."""
+        qs = ", ".join(str((i + 1) / 256.0) for i in range(255))
+
+        def bucket(num: "F.Column", frame: DataFrame) -> "F.Column":
+            bounds = frame.select(num.alias("v")).agg(
+                F.expr(f"percentile_approx(v, array({qs}), 10000)")
+                .alias("b")).collect()[0]["b"]
+            barr = F.array(*[F.lit(float(b)) for b in bounds])
+            return F.size(F.filter(barr, lambda b: b <= num)).cast("long")
+
+        tnum = F.expr(
+            "cast(timestampdiff(MICROSECOND, "
+            "timestamp_ntz'2000-01-01 00:00:00', ts) as double)")
+        mn, mx = df.agg(F.min("conv_id"), F.max("conv_id")).collect()[0]
+        skip = len(os.path.commonprefix([mn or "", mx or ""]))
+        cnum = None
+        for i in range(7):
+            byte = F.coalesce(
+                F.ascii(F.substring(F.col("conv_id"), skip + 1 + i, 1)),
+                F.lit(0)).cast("double")
+            term = byte * float(256 ** (6 - i))
+            cnum = term if cnum is None else cnum + term
+        tbits = bucket(tnum, df)
+        cbits = bucket(cnum, df)
+
+        def spread(x: "F.Column") -> "F.Column":
+            # 8 -> 16 bits: b7..b0 to even positions 14,12,...,0
+            x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F))
+            x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x3333))
+            return (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x5555))
+
+        return spread(tbits).bitwiseOR(F.shiftleft(spread(cbits), 1))
 
     def _compaction_plan(self, spark: SparkSession,
                          by_run: dict[str, list[int]],
@@ -1485,12 +1547,19 @@ class SinkSet:
         the existing ``bucket`` column, each task sorted to satisfy
         the dynamic-partition writer's required ordering."""
         n_buckets = sum(len(bs) for bs in by_run.values())
-        return (
+        df = (
             self._read_committed(spark, by_run)
             .repartition(max(1, n_buckets), "bucket")
-            .sortWithinPartitions(
-                "bucket", "sink_id", *self._SORT_ORDERS[sort_order])
         )
+        if sort_order == "zorder":
+            return (
+                df.withColumn("_z", self._zvalue_col(df))
+                .sortWithinPartitions(
+                    "bucket", "sink_id", "_z", "conv_id", "turn_idx")
+                .drop("_z")
+            )
+        return df.sortWithinPartitions(
+            "bucket", "sink_id", *self._SORT_ORDERS[sort_order])
 
     def compact(self, spark: SparkSession,
                 min_files_per_partition: int = 2,
@@ -1522,7 +1591,12 @@ class SinkSet:
         "time" keeps a conversation's relative turn order whenever its
         event time is non-decreasing in turn_idx (ties break by
         (conv_id, turn_idx)); readers that need strict order sort
-        explicitly, as they already must across files. The chosen
+        explicitly, as they already must across files. "zorder"
+        interleaves quantized (ts, conv-hash) bits (see _zvalue_col —
+        the OPTIMIZE ZORDER technique) so files carry usable min/max
+        bounds on BOTH dimensions: the mixed-workload clustering when
+        neither point lookups nor time ranges dominate; within a file
+        rows still tie-break (conv_id, turn_idx). The chosen
         order is recorded in the snapshot history. The
         already-at-target no-op check is file-count-based, so
         switching sort_order alone does not rewrite partitions whose

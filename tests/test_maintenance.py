@@ -491,3 +491,103 @@ def test_cross_run_schema_drift_union_and_compact(spark, fixture_sf_small,
     assert after.count() == n_before
     # conservation survived the cross-schema rewrite
     assert load_manifest(out)["buckets"].keys() == manifest.keys()
+
+
+def _rewritten_file_bounds(out_dir: str, buckets: list[int]):
+    """Per parquet file (ts_min, ts_max, conv_min, conv_max) from
+    footer row-group statistics, for the given buckets' committed
+    files — what read-side file skipping actually consults."""
+    import pyarrow.parquet as apq
+
+    manifest = load_manifest(out_dir)
+    out = []
+    for b in buckets:
+        meta = manifest["buckets"][str(b)]
+        base = os.path.join(out_dir, "runs", meta["run_id"], f"bucket={b}")
+        for root, _, files in os.walk(base):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = apq.ParquetFile(os.path.join(root, f)).metadata
+                names = {md.schema.column(i).name: i
+                         for i in range(md.num_columns)}
+                tmin = tmax = cmin = cmax = None
+                for rg in range(md.num_row_groups):
+                    ts_st = md.row_group(rg).column(names["ts"]).statistics
+                    cv_st = md.row_group(rg).column(
+                        names["conv_id"]).statistics
+                    tmin = ts_st.min if tmin is None else min(tmin, ts_st.min)
+                    tmax = ts_st.max if tmax is None else max(tmax, ts_st.max)
+                    cmin = cv_st.min if cmin is None else min(cmin, cv_st.min)
+                    cmax = cv_st.max if cmax is None else max(cmax, cv_st.max)
+                out.append((tmin, tmax, cmin, cmax))
+    return out
+
+
+def test_compact_zorder_bounds_both_dims(spark, committed_run, tmp_path):
+    """sort_order="zorder" (interleaved quantized ts x conv-hash bits)
+    must yield files whose footer bounds prune BOTH read patterns:
+    strictly better conv-point pruning than "time" clustering AND
+    strictly better time-range pruning than "key" clustering — the
+    mixed-workload layout neither single-dim order provides. Rows are
+    identical under all three orders (clustering is layout, not
+    content)."""
+    import datetime as dt
+
+    tables = {}
+    results = {}
+    for order in ("key", "time", "zorder"):
+        out = str(tmp_path / order)
+        shutil.copytree(committed_run, out)
+        res = SinkSet(out_dir=out).compact(
+            spark, max_records_per_file=150, sort_order=order)
+        assert res["rewritten_buckets"], order
+        tables[order] = out
+        results[order] = res
+
+    # identical rewritten bucket sets -> comparable censuses
+    common = sorted(set(results["key"]["rewritten_buckets"])
+                    & set(results["time"]["rewritten_buckets"])
+                    & set(results["zorder"]["rewritten_buckets"]))
+    assert common
+
+    rows_by_order = {
+        o: sorted(map(tuple, SinkSet(out_dir=t).read_routed(spark)
+                      .select("sink_id", "conv_id", "turn_idx", "rendered")
+                      .collect()))
+        for o, t in tables.items()
+    }
+    assert rows_by_order["key"] == rows_by_order["time"] \
+        == rows_by_order["zorder"]
+
+    bounds = {o: _rewritten_file_bounds(t, common)
+              for o, t in tables.items()}
+    n_files = {o: len(b) for o, b in bounds.items()}
+    assert min(n_files.values()) > len(common)  # rolled files exist
+
+    convs = sorted({c for _, c, _, _ in rows_by_order["key"]})[::7][:24]
+    tmins = min(b[0] for b in bounds["key"])
+    tmaxs = max(b[1] for b in bounds["key"])
+    span = (tmaxs - tmins) or dt.timedelta(seconds=1)
+    t_probes = [(tmins + span * i / 16, tmins + span * (2 * i + 1) / 32)
+                for i in range(8)]
+
+    def conv_frac(bs):
+        hit = sum(1 for c in convs for (_, _, cmin, cmax) in bs
+                  if cmin <= c <= cmax)
+        return hit / (len(convs) * len(bs))
+
+    def ts_frac(bs):
+        hit = sum(1 for lo, hi in t_probes for (tmin, tmax, _, _) in bs
+                  if not (tmax < lo or tmin > hi))
+        return hit / (len(t_probes) * len(bs))
+
+    cf = {o: conv_frac(b) for o, b in bounds.items()}
+    tf = {o: ts_frac(b) for o, b in bounds.items()}
+    # single-dim orders are one-sided; z-order must beat each order on
+    # the dimension that order sacrifices
+    assert cf["zorder"] < 0.9 * cf["time"], (cf, n_files)
+    assert tf["zorder"] < 0.9 * tf["key"], (tf, n_files)
+    # and the single-dim winners stay best on their own dimension
+    assert cf["key"] <= cf["zorder"], cf
+    assert tf["time"] <= tf["zorder"], tf
