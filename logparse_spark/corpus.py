@@ -1315,7 +1315,8 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON payload breadth, tagged union (part='path' | 'map').
+    """JSON payload breadth, tagged union (part='path' | 'map' |
+    'variant').
 
     part='path': scalar extraction + aggregate (get_json_object,
     JVM-side) — the point-path read.
@@ -1325,8 +1326,18 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     MapType + generator surface), aggregated per JSON KEY: the query
     you run when payload schemas are open-ended and you need the key
     census before committing to columns. The DuckDB twin walks
-    ``json_keys``/``json_extract_string``. Both arms are one scan +
-    one partial+final aggregate."""
+    ``json_keys``/``json_extract_string``.
+
+    part='variant': the Spark 4 VARIANT surface — ``parse_json`` to
+    a VARIANT column once, then typed ``try_variant_get`` point
+    reads. At 100 TB this is the ingestion shape for open-schema
+    payloads: VARIANT stores a parsed binary encoding, so N
+    downstream path reads decode the binary instead of re-parsing
+    JSON text N times (get_json_object re-parses per call). n counts
+    rows where the path EXISTS with a long value (try_variant_get
+    NULL otherwise — same degradation the TRY_CAST oracle mirrors).
+
+    All arms are one scan + one partial+final aggregate."""
     ev = _events(spark, sf_dir)
     path = ev.withColumn(
         "k", F.get_json_object("props", "$.k").cast("long")
@@ -1341,7 +1352,17 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("val").cast("long")).alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
     ).select(F.lit("map").alias("part"), "key", "sum_k", "n")
-    return path.unionByName(mp)
+    vr = (
+        ev.select("event_type",
+                  F.expr("try_variant_get(parse_json(props), '$.k', 'long')")
+                  .alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"),
+             F.count("k").alias("n"))
+        .select(F.lit("variant").alias("part"),
+                F.col("event_type").alias("key"), "sum_k", "n")
+    )
+    return path.unionByName(mp).unionByName(vr)
 
 
 def _sessionize_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1945,6 +1966,13 @@ def corpus_oracles() -> dict[str, str]:
             FROM (SELECT props, unnest(json_keys(props)) AS key
                   FROM events)
             GROUP BY 2
+            UNION ALL
+            SELECT 'variant' AS part, event_type AS key,
+                   CAST(sum(TRY_CAST(json_extract_string(props, '$.k')
+                                     AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(count(TRY_CAST(json_extract_string(props, '$.k')
+                                       AS BIGINT)) AS BIGINT) AS n
+            FROM events GROUP BY 2
         """,
         "sessionize": """
             WITH x AS (
