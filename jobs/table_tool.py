@@ -101,8 +101,8 @@ def main() -> None:
                     help="mergeable HLL sketches (logparse_spark."
                          "sketches) instead of the exact distinct: "
                          "per-sink estimates + the global distinct "
-                         "(a register-max union of the same per-day "
-                         "sketches, no second scan)")
+                         "(a register-max union of the same cached "
+                         "per-sink sketches — one table scan total)")
     dl = sub.add_parser("delete")
     dl.add_argument("--conv-id", action="append", required=True,
                     help="repeatable; each named conversation is removed "
@@ -233,13 +233,21 @@ def main() -> None:
             if args.approx:
                 from logparse_spark import sketches
 
-                day = sketches.sink_day_cardinality(ss.read_routed(spark))
-                per_sink = {
-                    r["sink_id"]: int(r["estimate"])
-                    for r in sketches.hll_rollup(day, ["sink_id"]).collect()
-                }
-                total = int(sketches.hll_rollup(day, [])
-                            .collect()[0]["estimate"])
+                # same frame as the exact leg (ALL sinks incl.
+                # 'ignored' — the two modes must report the same sink
+                # set); ONE table scan builds the per-sink sketches,
+                # the global estimate rolls up the tiny cached
+                # per-sink sketches driver-adjacent, never rescanning
+                per = sketches.hll_cardinality(
+                    ss._read_committed(spark), ["sink_id"], "conv_id")
+                per.persist()
+                try:
+                    per_sink = {r["sink_id"]: int(r["estimate"])
+                                for r in per.collect()}
+                    total = int(sketches.hll_rollup(per, [])
+                                .collect()[0]["estimate"])
+                finally:
+                    per.unpersist()
                 print(json.dumps({"approx": True, "per_sink": per_sink,
                                   "total_distinct_convs": total}))
             else:

@@ -813,7 +813,14 @@ _ANN_INDEX_CACHE: dict[tuple, str] = {}
 def ensure_ann_index(spark: SparkSession, sf_dir: str, n_tables: int = 2) -> str:
     key = (os.path.abspath(sf_dir), n_tables)
     path = _ANN_INDEX_CACHE.get(key)
-    if path is None or not os.path.isdir(os.path.join(path, "lsh")):
+    # validate EVERY layout the index serves (lsh + ivf + the
+    # persisted quantizer) — the dirs live under /tmp, which this
+    # sandbox is known to purge mid-session; a partial survival must
+    # trigger a rebuild, not a crash in whichever arm reads the
+    # missing piece
+    if path is None or not all(
+            os.path.isdir(os.path.join(path, d))
+            for d in ("lsh", "ivf", "centroids")):
         import tempfile
 
         path = build_ann_index(
@@ -1329,13 +1336,17 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``json_keys``/``json_extract_string``.
 
     part='variant': the Spark 4 VARIANT surface — ``parse_json`` to
-    a VARIANT column once, then typed ``try_variant_get`` point
-    reads. At 100 TB this is the ingestion shape for open-schema
-    payloads: VARIANT stores a parsed binary encoding, so N
-    downstream path reads decode the binary instead of re-parsing
-    JSON text N times (get_json_object re-parses per call). n counts
-    rows where the path EXISTS with a long value (try_variant_get
-    NULL otherwise — same degradation the TRY_CAST oracle mirrors).
+    a VARIANT column once, then ``try_variant_get`` point reads. At
+    100 TB this is the ingestion shape for open-schema payloads:
+    VARIANT stores a parsed binary encoding, so N downstream path
+    reads decode the binary instead of re-parsing JSON text N times
+    (get_json_object re-parses per call). The aggregate guards on a
+    canonical integer literal (regex) BEFORE casting, because typed
+    variant casts and SQL string casts disagree on non-integer
+    payloads (variant 'long' truncates 12.7 where TRY_CAST('12.7')
+    NULLs) — the guard makes both engines NULL identically on
+    anything but an integer literal. n counts rows passing the
+    guard.
 
     All arms are one scan + one partial+final aggregate."""
     ev = _events(spark, sf_dir)
@@ -1352,10 +1363,10 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("val").cast("long")).alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
     ).select(F.lit("map").alias("part"), "key", "sum_k", "n")
+    ks = F.expr("try_variant_get(parse_json(props), '$.k', 'string')")
+    vk = F.when(ks.rlike("^-?[0-9]+$"), ks.cast("long"))
     vr = (
-        ev.select("event_type",
-                  F.expr("try_variant_get(parse_json(props), '$.k', 'long')")
-                  .alias("k"))
+        ev.select("event_type", vk.alias("k"))
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"),
              F.count("k").alias("n"))
@@ -1968,11 +1979,17 @@ def corpus_oracles() -> dict[str, str]:
             GROUP BY 2
             UNION ALL
             SELECT 'variant' AS part, event_type AS key,
-                   CAST(sum(TRY_CAST(json_extract_string(props, '$.k')
-                                     AS BIGINT)) AS BIGINT) AS sum_k,
-                   CAST(count(TRY_CAST(json_extract_string(props, '$.k')
-                                       AS BIGINT)) AS BIGINT) AS n
-            FROM events GROUP BY 2
+                   CAST(sum(vk) AS BIGINT) AS sum_k,
+                   CAST(count(vk) AS BIGINT) AS n
+            FROM (
+              SELECT event_type,
+                     CASE WHEN regexp_matches(
+                              json_extract_string(props, '$.k'),
+                              '^-?[0-9]+$')
+                          THEN CAST(json_extract_string(props, '$.k')
+                                    AS BIGINT) END AS vk
+              FROM events
+            ) GROUP BY 2
         """,
         "sessionize": """
             WITH x AS (
@@ -2355,20 +2372,31 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
     doc_grams = grams(docs)
     if mode == "bloom":
         spark = docs.sparkSession
+        # the gram set is re-used three times (count, mask build,
+        # verify join) — cache it so the benchmark side is derived
+        # once (it is small by definition, but not free)
+        bench = bench.persist()
         n_grams = bench.count()
         m_bits = max(1024, _BLOOM_BITS_PER_GRAM * n_grams)
         m_bits += (-m_bits) % 64
         pos_exprs = _bloom_positions(m_bits)
-        set_bits = (
+        # fold bit positions into 64-bit mask WORDS distributed-side
+        # (bit_or partial-aggregates map-side): the driver collects at
+        # most m_bits/64 longs — never k x n_grams position rows,
+        # which for a 100M-gram suite would out-weigh the very gram
+        # broadcast this mode exists to avoid
+        word_rows = (
             bench.select(F.explode(F.array(*pos_exprs)).alias("p"))
-            .distinct().collect()
+            .groupBy(F.shiftright("p", 6).cast("int").alias("w"))
+            .agg(F.bit_or(F.call_function(
+                "shiftleft", F.lit(1).cast("long"),
+                F.col("p").bitwiseAND(F.lit(63)).cast("int")))
+                .alias("bits"))
+            .collect()
         )
         words = [0] * (m_bits // 64)
-        for r in set_bits:
-            p = int(r["p"])
-            words[p >> 6] |= 1 << (p & 63)
-        # LongType is signed 64-bit: wrap the top bit
-        words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+        for r in word_rows:
+            words[int(r["w"])] = int(r["bits"])
         mask = spark.createDataFrame([(words,)], "bloom_mask array<bigint>")
         hit_all = None
         for pos in pos_exprs:

@@ -34,10 +34,6 @@ from pyspark.sql import functions as F
 
 from .sinks import SinkSet, _atomic_write_json
 
-# written into a superseded version dir when the supersede-time utime
-# stamp fails; _sweep_stale ages the dir from max(mtime, sidecar)
-_SUPERSEDE_SIDECAR = "_superseded_at"
-
 
 class SinkDailyCounts:
     """rows per (sink_id, day) — the running ops dashboard table."""
@@ -77,11 +73,12 @@ class SinkDailyCounts:
         probe runs before deciding whether to trigger a refresh."""
         st = self._state()
         latest = len(SinkSet(out_dir=self.table_dir).snapshots()) - 1
+        cur = st["data"] if st else None
         versions = []
         try:
             versions = sorted(
                 n for n in os.listdir(self.view_dir)
-                if n.startswith("v")
+                if n.startswith("v") and n != cur
                 and os.path.isdir(os.path.join(self.view_dir, n)))
         except FileNotFoundError:
             pass
@@ -90,7 +87,9 @@ class SinkDailyCounts:
             "watermark_snapshot": st["snapshot"] if st else None,
             "table_snapshot": latest,
             "snapshots_behind": (latest - st["snapshot"]) if st else None,
-            "current_version": st["data"] if st else None,
+            "current_version": cur,
+            # SUPERSEDED dirs still inside their grace window (the
+            # current pointer target is not counted)
             "retained_versions": len(versions),
         }
 
@@ -204,46 +203,39 @@ class SinkDailyCounts:
 
     def _publish(self, merged: DataFrame, snapshot: int,
                  prev: dict | None) -> None:
-        """Write a new view version and atomically repoint, stamping
-        the outgoing version's supersede time for the grace sweep.
-        The stamp happens BEFORE the pointer swap: a crash between
-        the two leaves the old version both current and freshly
-        stamped (harmless), whereas stamping after would leave a
-        crash window in which a long-lived version is superseded but
-        still carries its ancient write mtime — and the next sweep
-        would delete it out from under in-flight readers."""
+        """Write a new view version and atomically repoint, recording
+        the outgoing version's SUPERSEDE TIME in the state file the
+        swap writes anyway — durable by construction: if that write
+        fails, the whole swap fails, so a superseded dir can never
+        exist without its stamp (an os.utime on the dir could fail
+        independently and leave a long-lived version looking
+        sweep-eligible the instant it is superseded — the
+        premature-deletion window the grace period exists to close).
+        The dir mtime is still touched as a redundant second clock;
+        stale map entries prune once their dirs are swept."""
         new = f"v{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.view_dir, new)
         merged.coalesce(1).write.mode("overwrite").parquet(out)
-        skip = None
+        sup = {
+            name: ts
+            for name, ts in ((prev or {}).get("superseded") or {}).items()
+            if os.path.isdir(os.path.join(self.view_dir, name))
+        }
         if prev:
-            pdir = os.path.join(self.view_dir, prev["data"])
+            sup[prev["data"]] = time.time()
             try:
-                os.utime(pdir)
+                os.utime(os.path.join(self.view_dir, prev["data"]))
             except OSError:
-                # supersede stamp failed: the outgoing version keeps
-                # its ORIGINAL write mtime, so a long-lived version
-                # would look sweep-eligible the instant it is
-                # superseded — exactly the premature-deletion window
-                # the grace period exists to close. Fall back to a
-                # sidecar supersede-timestamp file (_sweep_stale takes
-                # max(mtime, sidecar)); if even that write fails,
-                # exclude the dir from this cycle's sweep.
-                try:
-                    with open(os.path.join(pdir, _SUPERSEDE_SIDECAR),
-                              "w", encoding="utf-8") as f:
-                        f.write(repr(time.time()))
-                except OSError:
-                    skip = prev["data"]
+                pass  # the state-file stamp above is authoritative
         _atomic_write_json(self._state_path(),
-                           {"snapshot": snapshot, "data": new})
-        self._sweep_stale(current=new, skip=skip)
+                           {"snapshot": snapshot, "data": new,
+                            "superseded": sup})
+        self._sweep_stale(current=new)
 
-    def _sweep_stale(self, current: str | None,
-                     skip: str | None = None) -> None:
+    def _sweep_stale(self, current: str | None) -> None:
         """Delete superseded ``v*`` version dirs older than the grace
-        window, measured from their SUPERSEDE time (refresh() touches
-        the outgoing dir at the pointer swap). Never touches the
+        window, measured from their SUPERSEDE time — max(dir mtime,
+        the state file's superseded-map stamp). Never touches the
         current pointer target; a version that was JUST superseded
         survives until it ages out, so in-flight readers of the old
         pointer finish cleanly."""
@@ -252,20 +244,17 @@ class SinkDailyCounts:
             entries = os.listdir(self.view_dir)
         except FileNotFoundError:
             return
+        st = self._state()
+        sup = (st or {}).get("superseded") or {}
         for name in entries:
-            if name == current or name == skip or not name.startswith("v"):
+            if name == current or not name.startswith("v"):
                 continue
             p = os.path.join(self.view_dir, name)
             try:
                 if not os.path.isdir(p):
                     continue
-                stamp = os.path.getmtime(p)
-                try:
-                    with open(os.path.join(p, _SUPERSEDE_SIDECAR),
-                              encoding="utf-8") as f:
-                        stamp = max(stamp, float(f.read().strip()))
-                except (OSError, ValueError):
-                    pass
+                stamp = max(os.path.getmtime(p),
+                            float(sup.get(name, 0.0)))
                 if stamp < cutoff:
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:

@@ -1490,6 +1490,12 @@ class SinkSet:
         not time ranges, "time" the reverse; z-order serves mixed
         workloads from one layout at ~sqrt the single-dim tightness.
 
+        Called with the PRE-repartition frame: the stats passes are
+        plain scans with partial aggregation (never re-executing the
+        compaction exchange), and the returned expression is
+        frame-agnostic — built from column references, applied to the
+        shuffled frame by the caller.
+
         Both dimensions quantize BY VALUE into 256-quantile range ids
         (the range-id trick Delta's implementation uses): file
         skipping consults the raw columns' min/max footer stats, so a
@@ -1501,24 +1507,24 @@ class SinkSet:
         max, shared by every value in between, so dropping it spends
         the proxy's width on the bytes that actually vary —
         "convNNNNNN"-style ids would otherwise collapse into one
-        bucket). Stats cost: two bounded driver-side passes (min/max
-        pair + two percentile_approx arrays, 255 doubles each)
-        inlined as literals; the per-row bucket lookup and the
-        shift/mask bit spread are pure codegen long arithmetic — no
-        Python, no extra shuffle."""
-        qs = ", ".join(str((i + 1) / 256.0) for i in range(255))
+        bucket). Stats cost: two bounded driver-side scan passes —
+        one combined (ts percentiles + conv min/max), one for the
+        prefix-dependent conv-proxy percentiles — each collecting
+        <= 255 doubles inlined as literals; the per-row bucket lookup
+        and the shift/mask bit spread are pure codegen long
+        arithmetic — no Python, no extra shuffle."""
 
-        def bucket(num: "F.Column", frame: DataFrame) -> "F.Column":
-            bounds = frame.select(num.alias("v")).agg(
-                F.expr(f"percentile_approx(v, array({qs}), 10000)")
-                .alias("b")).collect()[0]["b"]
+        def bucketize(bounds, num: "F.Column") -> "F.Column":
             barr = F.array(*[F.lit(float(b)) for b in bounds])
             return F.size(F.filter(barr, lambda b: b <= num)).cast("long")
 
         tnum = F.expr(
             "cast(timestampdiff(MICROSECOND, "
             "timestamp_ntz'2000-01-01 00:00:00', ts) as double)")
-        mn, mx = df.agg(F.min("conv_id"), F.max("conv_id")).collect()[0]
+        qarr = F.array(*[F.lit((i + 1) / 256.0) for i in range(255)])
+        tb, mn, mx = df.agg(
+            F.percentile_approx(tnum, qarr, F.lit(10000)),
+            F.min("conv_id"), F.max("conv_id")).collect()[0]
         skip = len(os.path.commonprefix([mn or "", mx or ""]))
         cnum = None
         for i in range(7):
@@ -1527,8 +1533,10 @@ class SinkSet:
                 F.lit(0)).cast("double")
             term = byte * float(256 ** (6 - i))
             cnum = term if cnum is None else cnum + term
-        tbits = bucket(tnum, df)
-        cbits = bucket(cnum, df)
+        cb = df.agg(
+            F.percentile_approx(cnum, qarr, F.lit(10000))).collect()[0][0]
+        tbits = bucketize(tb, tnum)
+        cbits = bucketize(cb, cnum)
 
         def spread(x: "F.Column") -> "F.Column":
             # 8 -> 16 bits: b7..b0 to even positions 14,12,...,0
@@ -1547,13 +1555,14 @@ class SinkSet:
         the existing ``bucket`` column, each task sorted to satisfy
         the dynamic-partition writer's required ordering."""
         n_buckets = sum(len(bs) for bs in by_run.values())
-        df = (
-            self._read_committed(spark, by_run)
-            .repartition(max(1, n_buckets), "bucket")
-        )
+        src = self._read_committed(spark, by_run)
+        df = src.repartition(max(1, n_buckets), "bucket")
         if sort_order == "zorder":
+            # stats derive from the PRE-repartition frame so the two
+            # bounded stat passes are plain scans, not re-executions
+            # of the compaction exchange
             return (
-                df.withColumn("_z", self._zvalue_col(df))
+                df.withColumn("_z", self._zvalue_col(src))
                 .sortWithinPartitions(
                     "bucket", "sink_id", "_z", "conv_id", "turn_idx")
                 .drop("_z")

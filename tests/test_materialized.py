@@ -233,13 +233,14 @@ def test_apply_merge_delta_modes(spark, committed_run, fixture_sf_small,
 
 
 
-def test_supersede_stamp_failure_uses_sidecar(spark, committed_run,
-                                              tmp_path, monkeypatch):
-    """If the supersede-time utime stamp fails, the outgoing version
-    keeps its ORIGINAL write mtime — under the pre-fix sweep a
-    long-lived version became delete-eligible the instant it was
-    superseded. The fallback sidecar stamp must keep it alive for the
-    grace window, and the dir must still age out afterwards."""
+def test_supersede_stamp_survives_utime_failure(spark, committed_run,
+                                                tmp_path, monkeypatch):
+    """The supersede time is recorded in the state file the pointer
+    swap writes anyway, so a failing os.utime cannot open the
+    premature-deletion window: a long-lived (ancient-mtime) version
+    stays protected for the grace window ACROSS MULTIPLE later
+    refresh cycles (a skip-one-sweep fallback would delete it on the
+    second cycle), and still ages out normally afterwards."""
     import os
     import time as _time
 
@@ -258,14 +259,24 @@ def test_supersede_stamp_failure_uses_sidecar(spark, committed_run,
 
     monkeypatch.setattr(materialized.os, "utime", _fail)
     SinkSet(out_dir=table).compact(spark, min_files_per_partition=1)
-    mv.refresh(spark)  # swap to v2; stamp fails -> sidecar fallback
-    monkeypatch.undo()
+    mv.refresh(spark)  # swap to v2; dir stamp fails, state stamp holds
     assert mv._state()["data"] != v1
+    assert v1 in (mv._state().get("superseded") or {})
     # pre-fix this dir is already gone (mtime 2h < 30-min grace)
     assert os.path.isdir(v1_path)
-    assert os.path.isfile(
-        os.path.join(v1_path, materialized._SUPERSEDE_SIDECAR))
-    # the sidecar ages like a normal stamp: zero grace -> swept
+    # a SECOND cycle (new snapshot + refresh, stamp still failing)
+    # must not sweep it either — the stamp is durable, not skip-once
+    SinkSet(out_dir=table).compact(
+        spark, min_files_per_partition=1, max_records_per_file=97)
+    mv.refresh(spark)
+    assert os.path.isdir(v1_path)
+    monkeypatch.undo()
+    # the state-file stamp ages like a normal one: zero grace -> swept,
+    # and the pruned dir leaves the superseded map
     mv.min_age_minutes = 0.0
     mv.refresh(spark)
     assert not os.path.isdir(v1_path)
+    SinkSet(out_dir=table).compact(
+        spark, min_files_per_partition=1, max_records_per_file=43)
+    mv.refresh(spark)
+    assert v1 not in (mv._state().get("superseded") or {})

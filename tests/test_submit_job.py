@@ -275,7 +275,7 @@ def test_table_tool_mv_cli(tmp_path, fixture_sf_small, spark):
 
     st = run_py("mv-status", "--view-dir", view)
     assert st["initialized"] is True and st["snapshots_behind"] == 0
-    assert st["retained_versions"] == 1
+    assert st["retained_versions"] == 0  # nothing superseded yet
 
     # read equals the direct aggregate over the routed table
     got = run_py("mv-read", "--view-dir", view)
@@ -298,15 +298,16 @@ def test_table_tool_mv_cli(tmp_path, fixture_sf_small, spark):
     assert flt["n"] > 0
     assert {r["sink_id"] for r in flt["rows"]} == {one_sink}
 
-    # sketch-based cardinality leg rides the same built table: per-sink
-    # estimates equal the exact counts at this size (HLL exact mode)
+    # sketch-based cardinality leg rides the same built table: SAME
+    # sink set as the exact leg (incl. 'ignored'), per-sink estimates
+    # equal the exact counts at this size (HLL exact mode)
     approx = run_py("cardinality", "--approx")
     assert approx["approx"] is True
     exact = run_py("cardinality")
+    assert set(approx["per_sink"]) == set(exact)
     for k, n in exact.items():
-        if k in approx["per_sink"]:
-            assert abs(approx["per_sink"][k] - n) <= max(2, 0.08 * n)
-    assert approx["total_distinct_convs"] > 0
+        assert abs(approx["per_sink"][k] - n) <= max(2, 0.08 * n)
+    assert approx["total_distinct_convs"] >= max(approx["per_sink"].values())
 
     # a new table snapshot makes the view stale; refresh catches up
     SinkSet(out_dir=out_dir).compact(spark, min_files_per_partition=1)

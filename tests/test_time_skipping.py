@@ -192,7 +192,7 @@ def test_compact_rejects_unknown_sort_order(spark, ulid_table, tmp_path):
     out = str(tmp_path / "badorder")
     shutil.copytree(ulid_table, out)
     with pytest.raises(ValueError):
-        SinkSet(out_dir=out).compact(spark, sort_order="zorder")
+        SinkSet(out_dir=out).compact(spark, sort_order="hilbert")
 
 
 def test_uncompacted_salted_table_still_correct(spark, tmp_path):
