@@ -591,3 +591,26 @@ def test_compact_zorder_bounds_both_dims(spark, committed_run, tmp_path):
     # and the single-dim winners stay best on their own dimension
     assert cf["key"] <= cf["zorder"], cf
     assert tf["time"] <= tf["zorder"], tf
+
+
+def test_zvalue_degenerate_dimensions(spark):
+    """Edge inputs the quantile machinery must survive: a constant ts
+    (all 255 boundaries equal — every row lands in one time bucket),
+    a single conv_id (common prefix = the whole string, proxy 0 for
+    all rows), and their combination. The z expression must evaluate
+    without error and stay constant where its inputs are constant."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [("convA", t0), ("convA", t0), ("convA", t0)]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp_ntz")
+    z = df.select(SinkSet._zvalue_col(df).alias("z")).collect()
+    assert len({r["z"] for r in z}) == 1  # fully degenerate -> one z
+
+    # one varying dimension still spreads z values
+    rows2 = [(f"conv{i:03d}", t0 + dt.timedelta(minutes=i))
+             for i in range(64)]
+    df2 = spark.createDataFrame(rows2, "conv_id string, ts timestamp_ntz")
+    z2 = {r["z"] for r in
+          df2.select(SinkSet._zvalue_col(df2).alias("z")).collect()}
+    assert len(z2) > 16
