@@ -1480,63 +1480,76 @@ class SinkSet:
     _Z_BITS = 8  # 8 bits per dimension -> 16-bit z-values
 
     @staticmethod
-    def _zvalue_col(df: DataFrame) -> "F.Column":
-        """Morton/Z-value over (ts, conv_id) — the multi-dimensional
-        clustering key of ``sort_order="zorder"`` (the Delta/Iceberg
-        OPTIMIZE ZORDER technique, public): each dimension is
-        quantized to 8 bits and the bits INTERLEAVED, so a file of
-        consecutive z-values carries moderately narrow min/max bounds
-        on BOTH columns at once — "key" order prunes conv lookups but
-        not time ranges, "time" the reverse; z-order serves mixed
-        workloads from one layout at ~sqrt the single-dim tightness.
-
-        Called with the PRE-repartition frame: the stats passes are
-        plain scans with partial aggregation (never re-executing the
-        compaction exchange), and the returned expression is
-        frame-agnostic — built from column references, applied to the
-        shuffled frame by the caller.
-
-        Both dimensions quantize BY VALUE into 256-quantile range ids
-        (the range-id trick Delta's implementation uses): file
-        skipping consults the raw columns' min/max footer stats, so a
-        hash dimension would scatter every file's bounds across the
-        whole domain and prune nothing — the quantization must
-        preserve the column's ORDER. ts ranks via its microsecond
-        offset; conv_id via a numeric proxy of the 7 bytes AFTER the
-        dataset's common prefix (the common prefix of global min and
-        max, shared by every value in between, so dropping it spends
-        the proxy's width on the bytes that actually vary —
-        "convNNNNNN"-style ids would otherwise collapse into one
-        bucket). Stats cost: two bounded driver-side scan passes —
-        one combined (ts percentiles + conv min/max), one for the
-        prefix-dependent conv-proxy percentiles — each collecting
-        <= 255 doubles inlined as literals; the per-row bucket lookup
-        and the shift/mask bit spread are pure codegen long
-        arithmetic — no Python, no extra shuffle."""
-
-        def bucketize(bounds, num: "F.Column") -> "F.Column":
-            barr = F.array(*[F.lit(float(b)) for b in bounds])
-            return F.size(F.filter(barr, lambda b: b <= num)).cast("long")
-
-        tnum = F.expr(
-            "cast(timestampdiff(MICROSECOND, "
-            "timestamp_ntz'2000-01-01 00:00:00', ts) as double)")
+    def _z_stats(df: DataFrame) -> tuple:
+        """The two bounded driver-side stat passes behind the z-value:
+        one combined agg (ts 256-quantile boundaries + conv_id
+        min/max, whose common prefix sizes the proxy skip), then the
+        prefix-dependent conv-proxy quantiles. Run on the
+        PRE-repartition frame: plain scans with partial aggregation,
+        never re-executions of the compaction exchange. Returns
+        (ts_bounds, conv_bounds, skip)."""
         qarr = F.array(*[F.lit((i + 1) / 256.0) for i in range(255)])
+        tsql, _ = SinkSet._z_dim_sql(0)
         tb, mn, mx = df.agg(
-            F.percentile_approx(tnum, qarr, F.lit(10000)),
+            F.percentile_approx(F.expr(tsql), qarr, F.lit(10000)),
             F.min("conv_id"), F.max("conv_id")).collect()[0]
         skip = len(os.path.commonprefix([mn or "", mx or ""]))
-        cnum = None
-        for i in range(7):
-            byte = F.coalesce(
-                F.ascii(F.substring(F.col("conv_id"), skip + 1 + i, 1)),
-                F.lit(0)).cast("double")
-            term = byte * float(256 ** (6 - i))
-            cnum = term if cnum is None else cnum + term
-        cb = df.agg(
-            F.percentile_approx(cnum, qarr, F.lit(10000))).collect()[0][0]
-        tbits = bucketize(tb, tnum)
-        cbits = bucketize(cb, cnum)
+        _, csql = SinkSet._z_dim_sql(skip)
+        cb = df.agg(F.percentile_approx(
+            F.expr(csql), qarr, F.lit(10000))).collect()[0][0]
+        return tb, cb, skip
+
+    @staticmethod
+    def _z_dim_sql(skip: int) -> tuple:
+        """SQL text of the two numeric dimensions: ts as a microsecond
+        offset, conv_id as an order-preserving numeric proxy of the 7
+        bytes after the dataset's common prefix (``skip`` chars — the
+        common prefix of global min and max is shared by every value
+        between them, so dropping it spends the proxy's width on the
+        bytes that actually vary; "convNNNNNN"-style ids would
+        otherwise collapse into one bucket). Text, not Columns,
+        because the whole z pipeline is assembled as ONE F.expr
+        string: building the 2 x 511-node search trees through the
+        Column API costs ~2k py4j round-trips of driver time per
+        compact() call."""
+        tsql = ("cast(timestampdiff(MICROSECOND, "
+                "timestamp_ntz'2000-01-01 00:00:00', ts) as double)")
+        terms = [
+            f"(coalesce(ascii(substring(conv_id, {skip + 1 + i}, 1)), 0)"
+            f" * {float(256 ** (6 - i))!r})"
+            for i in range(7)
+        ]
+        csql = "(" + " + ".join(terms) + ")"
+        return tsql, csql
+
+    @staticmethod
+    def _z_bucket_tree_sql(bounds, num_sql: str) -> str:
+        """Count of quantile boundaries <= num (bisect_right) as a
+        BINARY SEARCH of nested CASE WHENs: 8 plain comparisons per
+        row, whole-stage-codegen friendly. The obvious
+        size(filter(boundary_array, b -> b <= num)) evaluates a
+        lambda per element OUTSIDE codegen and measured ~1k
+        rows/s/core — a compaction bottleneck. ``num_sql`` should be
+        a MATERIALIZED column name (see _compaction_plan): a compound
+        expression is copy-pasted into all 255 conditions, inflating
+        parse/analysis cost."""
+        bs = [float(b) for b in bounds]
+
+        def rec(lo: int, hi: int) -> str:
+            if lo == hi:
+                return f"CAST({lo} AS BIGINT)"
+            mid = (lo + hi + 1) // 2
+            return (f"(CASE WHEN {num_sql} >= {bs[mid - 1]!r} "
+                    f"THEN {rec(mid, hi)} ELSE {rec(lo, mid - 1)} END)")
+
+        return rec(0, len(bs))
+
+    @staticmethod
+    def _z_interleave(tbits: "F.Column", cbits: "F.Column") -> "F.Column":
+        """Morton interleave of two 8-bit bucket ids via the shift/
+        mask magic-number spread — pure codegen long arithmetic
+        (Column form: each level reuses the same underlying JVM
+        expression object, no textual duplication)."""
 
         def spread(x: "F.Column") -> "F.Column":
             # 8 -> 16 bits: b7..b0 to even positions 14,12,...,0
@@ -1545,6 +1558,31 @@ class SinkSet:
             return (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x5555))
 
         return spread(tbits).bitwiseOR(F.shiftleft(spread(cbits), 1))
+
+    @staticmethod
+    def _zvalue_col(df: DataFrame) -> "F.Column":
+        """Morton/Z-value over (ts, conv_id) as ONE self-contained
+        Column — the multi-dimensional clustering key of
+        ``sort_order="zorder"`` (the Delta/Iceberg OPTIMIZE ZORDER
+        technique, public): each dimension quantizes BY VALUE into
+        256-quantile range ids (file skipping consults the raw
+        columns' min/max footer stats, so a hash dimension would
+        scatter every file's bounds across the whole domain and prune
+        nothing) and the 8-bit ids are bit-interleaved, so a file of
+        consecutive z-values carries moderately narrow bounds on BOTH
+        columns at once — "key" order prunes conv lookups but not
+        time ranges, "time" the reverse; z-order serves mixed
+        workloads from one layout at ~sqrt the single-dim tightness.
+
+        Convenience/test form (dimension SQL inlined per condition);
+        the hot path (_compaction_plan) MATERIALIZES the dimension
+        values as columns first so each search tree references a leaf
+        column."""
+        tb, cb, skip = SinkSet._z_stats(df)
+        tsql, csql = SinkSet._z_dim_sql(skip)
+        return SinkSet._z_interleave(
+            F.expr(SinkSet._z_bucket_tree_sql(tb, tsql)),
+            F.expr(SinkSet._z_bucket_tree_sql(cb, csql)))
 
     def _compaction_plan(self, spark: SparkSession,
                          by_run: dict[str, list[int]],
@@ -1558,14 +1596,28 @@ class SinkSet:
         src = self._read_committed(spark, by_run)
         df = src.repartition(max(1, n_buckets), "bucket")
         if sort_order == "zorder":
-            # stats derive from the PRE-repartition frame so the two
-            # bounded stat passes are plain scans, not re-executions
-            # of the compaction exchange
+            # stats derive from the PRE-repartition frame (plain
+            # scans, not re-executions of the compaction exchange);
+            # the dimension values and bucket ids MATERIALIZE as
+            # columns so each 255-condition search tree references a
+            # leaf instead of embedding the dimension expression per
+            # condition, and the tree SQL is parsed JVM-side in one
+            # F.expr call (the Column-API build cost ~2k py4j round
+            # trips of driver time per compact)
+            tb, cb, skip = self._z_stats(src)
+            tsql, csql = self._z_dim_sql(skip)
             return (
-                df.withColumn("_z", self._zvalue_col(src))
+                df.withColumn("_zt", F.expr(tsql))
+                .withColumn("_zc", F.expr(csql))
+                .withColumn("_zbt", F.expr(
+                    self._z_bucket_tree_sql(tb, "_zt")))
+                .withColumn("_zbc", F.expr(
+                    self._z_bucket_tree_sql(cb, "_zc")))
+                .withColumn("_z", self._z_interleave(
+                    F.col("_zbt"), F.col("_zbc")))
                 .sortWithinPartitions(
                     "bucket", "sink_id", "_z", "conv_id", "turn_idx")
-                .drop("_z")
+                .drop("_zt", "_zc", "_zbt", "_zbc", "_z")
             )
         return df.sortWithinPartitions(
             "bucket", "sink_id", *self._SORT_ORDERS[sort_order])
